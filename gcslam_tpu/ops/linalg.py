@@ -1,0 +1,126 @@
+"""Branch-free total-function numeric kernels (reference common/primitives.py:80-533).
+
+Every function always executes its stabilization (symmetrize, eigenvalue
+floor, lift) and returns the magnitude of the change as a certificate scalar.
+All functions broadcast over leading batch dims and are designed to live
+inside one jitted program (no per-op jit, no host syncs, no Python floats).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from gcslam_tpu.utils.xla import jax, jnp
+from gcslam_tpu import constants as C
+
+
+class PsdCert(NamedTuple):
+    """Numeric certificate of a PSD projection (cf. reference cert_vec,
+    common/primitives.py:119-123)."""
+
+    projection_delta: jnp.ndarray
+    sym_delta: jnp.ndarray
+    eig_min: jnp.ndarray
+    eig_max: jnp.ndarray
+    cond: jnp.ndarray
+    near_null_count: jnp.ndarray
+
+
+def sym(M: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def domain_projection_psd(
+    M: jnp.ndarray, eps_psd: float = C.EPS_PSD
+) -> Tuple[jnp.ndarray, PsdCert]:
+    """Symmetrize + eigh + eigenvalue floor + reconstruct. Always applied."""
+    M_sym = sym(M)
+    sym_delta = jnp.linalg.norm(M_sym - M, axis=(-2, -1))
+    eigvals, eigvecs = jnp.linalg.eigh(M_sym)
+    vals = jnp.maximum(eigvals, eps_psd)
+    M_psd = jnp.einsum("...ik,...k,...jk->...ij", eigvecs, vals, eigvecs)
+    projection_delta = jnp.linalg.norm(M_psd - M_sym, axis=(-2, -1))
+    eig_min = jnp.min(vals, axis=-1)
+    eig_max = jnp.max(vals, axis=-1)
+    cert = PsdCert(
+        projection_delta=projection_delta,
+        sym_delta=sym_delta,
+        eig_min=eig_min,
+        eig_max=eig_max,
+        cond=eig_max / eig_min,
+        near_null_count=jnp.sum(vals < 10.0 * eps_psd, axis=-1).astype(M.dtype),
+    )
+    return M_psd, cert
+
+
+def spd_solve_lifted(
+    L: jnp.ndarray, b: jnp.ndarray, eps_lift: float = C.EPS_LIFT
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x = (L + eps I)^{-1} b via Cholesky; returns (x, lift_strength).
+
+    Lift is ALWAYS applied (reference common/primitives.py:141-166).
+    """
+    d = L.shape[-1]
+    L_lifted = L + eps_lift * jnp.eye(d, dtype=L.dtype)
+    chol = jnp.linalg.cholesky(L_lifted)
+    b_vec = b[..., None] if b.ndim == L.ndim - 1 else b
+    y = jax.scipy.linalg.solve_triangular(chol, b_vec, lower=True)
+    x = jax.scipy.linalg.solve_triangular(jnp.swapaxes(chol, -1, -2), y, lower=False)
+    if b.ndim == L.ndim - 1:
+        x = x[..., 0]
+    return x, jnp.asarray(eps_lift * d, dtype=L.dtype)
+
+
+def spd_inverse_lifted(
+    L: jnp.ndarray, eps_lift: float = C.EPS_LIFT
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L + eps I)^{-1} via Cholesky; returns (L_inv, lift_strength)."""
+    d = L.shape[-1]
+    L_lifted = L + eps_lift * jnp.eye(d, dtype=L.dtype)
+    chol = jnp.linalg.cholesky(L_lifted)
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=L.dtype), L.shape)
+    chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    L_inv = jnp.swapaxes(chol_inv, -1, -2) @ chol_inv
+    return L_inv, jnp.asarray(eps_lift * d, dtype=L.dtype)
+
+
+def inv_mass(m: jnp.ndarray, eps_mass: float = C.EPS_MASS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1/(m + eps) and the epsilon ratio; total even for m <= 0."""
+    m = jnp.asarray(m)
+    guard = jnp.finfo(m.dtype).eps
+    denom = m + eps_mass + guard
+    return 1.0 / denom, eps_mass / denom
+
+
+def clamp(x: jnp.ndarray, lo: float, hi: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    clamped = jnp.clip(x, lo, hi)
+    return clamped, jnp.abs(clamped - x)
+
+
+def safe_normalize(v: jnp.ndarray, eps: float = C.EPS_MASS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    denom = norm + eps
+    return v / denom, (eps / denom)[..., 0]
+
+
+def eigh_3x3(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched symmetric 3x3 eigendecomposition.
+
+    Thin wrapper over jnp.linalg.eigh today; kept as a seam so the surfel
+    plane-fit hot loop (8192 cells/scan) can swap in an analytic Cardano
+    kernel or a Pallas kernel without touching callers.
+    """
+    return jnp.linalg.eigh(M)
+
+
+def softplus_positive(x: jnp.ndarray, eps: float = 1e-12, beta: float = 50.0) -> jnp.ndarray:
+    """Smooth projection to (0, inf): softplus(beta x)/beta + eps
+    (reference operators/inverse_wishart_jax.py:458-462)."""
+    return jax.nn.softplus(beta * x) / beta + eps
+
+
+def smooth_interval_project(x: jnp.ndarray, lo: jnp.ndarray, hi: float) -> jnp.ndarray:
+    """Smooth projection of x into [lo, hi] via double softplus (no kinks),
+    matching the reference nu-clipping (operators/inverse_wishart_jax.py:608-612)."""
+    floored = lo + jax.nn.softplus(x - lo)
+    return hi - jax.nn.softplus(hi - floored)
