@@ -137,7 +137,7 @@ K_ASSOC = 8
 K_SINKHORN = 50
 RINGBUF_LEN = 5
 
-OT_EPSILON = 0.1
+OT_EPSILON = 0.02  # sharper than the reference's 0.1: ~0.15 m association scale
 OT_TAU_A = 0.5
 OT_TAU_B = 0.5
 OT_COST_BETA = 0.5

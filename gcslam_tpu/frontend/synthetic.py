@@ -1,0 +1,284 @@
+"""Synthetic world + sensor-rig generator.
+
+Stands in for the canonical Kimera rosbag (which ships no data in this
+environment): a planar robot driving a smooth arc through a room of walls and
+pillars, emitting VLP-16-like LiDAR scans (with real per-point skew), 200 Hz
+IMU (specific force + gyro with bias and noise), and wheel odometry
+(pose + twist with noise) — exactly the stream set the reference's frontend
+produces (docs/KIMERA_DATASET_AND_PIPELINE.md). Ground truth is returned for
+ATE/RPE scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.models.scan_io import ScanBatch, range_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticConfig:
+    n_scans: int = 160
+    scan_rate_hz: float = 10.0
+    imu_rate_hz: float = 200.0
+    n_points: int = C.N_POINTS_CAP
+    speed_mps: float = 0.5
+    turn_rate: float = 0.1  # rad/s yaw rate
+    seed: int = 0
+    # Sensor noise (vibration-level accel noise typical of a ground robot;
+    # the measurement-IW states adapt to whatever these are)
+    gyro_noise_std: float = 2e-3  # rad/s
+    accel_noise_std: float = 0.2  # m/s^2
+    gyro_bias: Tuple[float, float, float] = (2e-3, -1e-3, 5e-4)
+    accel_bias: Tuple[float, float, float] = (1e-2, -5e-3, 2e-2)
+    lidar_noise_std: float = 0.01  # m
+    odom_pos_noise_std: float = 0.02  # m
+    odom_yaw_noise_std: float = 0.005  # rad
+    odom_vel_noise_std: float = 0.02  # m/s
+    # Wheel-odometry DRIFT (random walk), the error mode SLAM exists to fix:
+    # per meter of travel the odom frame slips and rotates.
+    odom_drift_pos_per_m: float = 0.02  # m of drift per m traveled
+    odom_drift_yaw_per_m: float = 0.01  # rad of drift per m traveled
+    max_range: float = 25.0
+
+
+def _yaw_R(yaw: np.ndarray) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    zero = np.zeros_like(yaw)
+    one = np.ones_like(yaw)
+    return np.stack(
+        [
+            np.stack([c, -s, zero], -1),
+            np.stack([s, c, zero], -1),
+            np.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )
+
+
+_PILLARS = np.array([[5, 5], [-5, 5], [5, -5], [-5, -5], [8, 0], [-8, 0]], dtype=np.float64)
+_PILLAR_R = 0.4
+_PILLAR_H = 2.5
+_ROOM = 15.0
+_WALL_H = 3.0
+_SENSOR_Z = 0.5  # sensor height above the base origin
+
+
+def _raycast_room(origins: np.ndarray, dirs: np.ndarray, max_range: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Raycast a synthetic room (ground plane, 4 walls, 6 pillars).
+
+    origins/dirs: (N, 3) world frame. Returns (hit points (N, 3), hit mask).
+    Real-scanner geometry: point density falls off with range like a VLP-16's.
+    """
+    N = origins.shape[0]
+    t_best = np.full(N, np.inf)
+
+    def consider(t, ok):
+        np.copyto(t_best, np.where(ok & (t > 0.05) & (t < t_best), t, t_best))
+
+    # ground z=0
+    dz = dirs[:, 2]
+    t = np.where(dz < -1e-9, -origins[:, 2] / np.where(dz == 0, 1.0, dz), np.inf)
+    consider(t, np.isfinite(t))
+    # walls
+    for axis, val in [(0, _ROOM), (0, -_ROOM), (1, _ROOM), (1, -_ROOM)]:
+        d = dirs[:, axis]
+        t = np.where(np.abs(d) > 1e-9, (val - origins[:, axis]) / np.where(d == 0, 1.0, d), np.inf)
+        p = origins + t[:, None] * dirs
+        other = 1 - axis
+        ok = np.isfinite(t) & (np.abs(p[:, other]) <= _ROOM) & (p[:, 2] >= 0) & (p[:, 2] <= _WALL_H)
+        consider(t, ok)
+    # pillars (infinite cylinder clipped in z)
+    for cx, cy in _PILLARS:
+        ox = origins[:, 0] - cx
+        oy = origins[:, 1] - cy
+        dx, dy = dirs[:, 0], dirs[:, 1]
+        a = dx * dx + dy * dy
+        b = 2 * (ox * dx + oy * dy)
+        c = ox * ox + oy * oy - _PILLAR_R**2
+        disc = b * b - 4 * a * c
+        ok = (disc > 0) & (a > 1e-12)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = (-b - sq) / np.where(a == 0, 1.0, 2 * a)
+        p = origins + t[:, None] * dirs
+        ok = ok & (t > 0.05) & (p[:, 2] >= 0) & (p[:, 2] <= _PILLAR_H)
+        consider(t, ok)
+
+    hit = np.isfinite(t_best) & (t_best <= max_range)
+    t_best = np.where(hit, t_best, max_range)
+    return origins + t_best[:, None] * dirs, hit
+
+
+def _vlp16_dirs(rng: np.random.Generator, n: int, yaw0: np.ndarray) -> np.ndarray:
+    """VLP-16-like ray directions in BODY frame: 16 elevation rings from -15
+    to +15 deg, azimuth sweeping the full circle across the scan."""
+    n_rings = 16
+    elev = np.deg2rad(np.linspace(-15.0, 15.0, n_rings))
+    ring = np.arange(n) % n_rings
+    az = (np.arange(n) / n) * 2 * np.pi + rng.uniform(0, 2 * np.pi)
+    el = elev[ring]
+    ce, se = np.cos(el), np.sin(el)
+    return np.stack([ce * np.cos(az), ce * np.sin(az), se], -1)
+
+
+class SyntheticRun(NamedTuple):
+    batches: List[ScanBatch]
+    gt_poses: np.ndarray  # (n_scans, 7) [t, x, y, z, yaw... as 6D pose]
+    gt_times: np.ndarray  # (n_scans,)
+
+
+def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
+    rng = np.random.default_rng(cfg.seed)
+    scan_dt = 1.0 / cfg.scan_rate_hz
+    imu_dt = 1.0 / cfg.imu_rate_hz
+    duration = cfg.n_scans * scan_dt
+
+    # Ground truth on a dense grid: robot starts AT REST, speed ramps with a
+    # raised-cosine profile over t_ramp, yaw rate ramps identically (rigs in
+    # the canonical bags start stationary; an instant-velocity start would
+    # fight the filter's at-rest prior through the IMU preint factor).
+    t_ramp = min(2.0, 0.25 * duration)
+    grid = np.arange(0.0, duration + 2 * imu_dt, imu_dt / 4.0)
+
+    def _speed(t):
+        s = np.clip(t / t_ramp, 0.0, 1.0)
+        return cfg.speed_mps * 0.5 * (1.0 - np.cos(np.pi * s))
+
+    def _yaw_rate(t):
+        s = np.clip(t / t_ramp, 0.0, 1.0)
+        return cfg.turn_rate * 0.5 * (1.0 - np.cos(np.pi * s))
+
+    yaw_grid = np.concatenate([[0.0], np.cumsum(0.5 * (_yaw_rate(grid[1:]) + _yaw_rate(grid[:-1])) * np.diff(grid))])
+    speed_grid = _speed(grid)
+    vx = speed_grid * np.cos(yaw_grid)
+    vy = speed_grid * np.sin(yaw_grid)
+    x_grid = np.concatenate([[0.0], np.cumsum(0.5 * (vx[1:] + vx[:-1]) * np.diff(grid))])
+    y_grid = np.concatenate([[0.0], np.cumsum(0.5 * (vy[1:] + vy[:-1]) * np.diff(grid))])
+    ax_grid = np.gradient(vx, grid)
+    ay_grid = np.gradient(vy, grid)
+
+    def traj(t):
+        """Interpolated ground truth: (pos(…,3), yaw, v_world(…,3), omega_z, a_world(…,3))."""
+        t = np.asarray(t, dtype=np.float64)
+        x = np.interp(t, grid, x_grid)
+        y = np.interp(t, grid, y_grid)
+        yaw = np.interp(t, grid, yaw_grid)
+        vxi = np.interp(t, grid, vx)
+        vyi = np.interp(t, grid, vy)
+        wz = np.interp(t, grid, _yaw_rate(grid))
+        axi = np.interp(t, grid, ax_grid)
+        ayi = np.interp(t, grid, ay_grid)
+        z = np.zeros_like(t)
+        pos = np.stack([x, y, z], -1)
+        v_world = np.stack([vxi, vyi, z], -1)
+        a_world = np.stack([axi, ayi, z], -1)
+        return pos, yaw, v_world, wz, a_world
+
+    g_w = np.array(C.GRAVITY_W)
+    gyro_bias = np.array(cfg.gyro_bias)
+    accel_bias = np.array(cfg.accel_bias)
+
+    # World model (fixed point cloud on surfaces; resampled per scan)
+    batches: List[ScanBatch] = []
+    gt_poses = np.zeros((cfg.n_scans, 6))
+    gt_times = np.zeros(cfg.n_scans)
+
+    t_last_scan = 0.0
+    odom_drift = np.zeros(3)  # [dx, dy, dyaw] accumulated random walk
+    prev_pos = np.zeros(3)
+    for k in range(cfg.n_scans):
+        t_scan = (k + 1) * scan_dt  # scan header stamp = window end
+        scan_start = t_scan - scan_dt
+        scan_end = t_scan
+
+        # --- ground truth at scan end
+        pos, yaw, v_world, wz, _ = traj(t_scan)
+        gt_poses[k] = np.concatenate([pos, [0.0, 0.0, yaw]])
+        gt_times[k] = t_scan
+
+        # --- IMU window (t_last_scan, t_scan]; includes deskew coverage
+        stamps = np.arange(np.floor(scan_start / imu_dt) * imu_dt, scan_end + 1e-9, imu_dt)
+        stamps = stamps[(stamps > 1e-9)]
+        n_imu = min(len(stamps), C.MAX_IMU_PREINT_LEN)
+        stamps = stamps[-n_imu:]
+        _, yaw_i, _, wz_i, a_world = traj(stamps)
+        R_i = _yaw_R(yaw_i)  # (M, 3, 3)
+        omega_body = np.stack([np.zeros(n_imu), np.zeros(n_imu), np.broadcast_to(wz_i, (n_imu,))], -1)
+        # specific force f_body = R^T (a_world - g)
+        f_body = np.einsum("mji,mj->mi", R_i, a_world - g_w[None, :])
+        gyro = omega_body + gyro_bias + rng.normal(0, cfg.gyro_noise_std, (n_imu, 3))
+        accel = f_body + accel_bias + rng.normal(0, cfg.accel_noise_std, (n_imu, 3))
+
+        imu_stamps = np.zeros(C.MAX_IMU_PREINT_LEN)
+        imu_gyro = np.zeros((C.MAX_IMU_PREINT_LEN, 3))
+        imu_accel = np.zeros((C.MAX_IMU_PREINT_LEN, 3))
+        imu_stamps[:n_imu] = stamps
+        imu_gyro[:n_imu] = gyro
+        imu_accel[:n_imu] = accel
+
+        # --- LiDAR scan: raycast the room with real per-point skew
+        pt_times = np.sort(rng.uniform(scan_start, scan_end, cfg.n_points))
+        pos_t, yaw_t, _, _, _ = traj(pt_times)
+        R_t = _yaw_R(yaw_t)
+        dirs_body = _vlp16_dirs(rng, cfg.n_points, yaw)
+        dirs_world = np.einsum("mij,mj->mi", R_t, dirs_body)
+        origins = pos_t + np.array([0.0, 0.0, _SENSOR_Z])[None, :]
+        world_pts, hit = _raycast_room(origins, dirs_world, cfg.max_range)
+        p_body = np.einsum("mji,mj->mi", R_t, world_pts - pos_t)
+        dist = np.linalg.norm(p_body - np.array([0.0, 0.0, _SENSOR_Z])[None, :], axis=1)
+        p_body = p_body + rng.normal(0, cfg.lidar_noise_std, p_body.shape)
+        weights = range_weights(dist) * hit
+
+        # --- odometry (drifting + noisy pose, twist in body frame)
+        dist_step = float(np.linalg.norm(pos - prev_pos))
+        prev_pos = pos.copy()
+        odom_drift[:2] += rng.normal(0, cfg.odom_drift_pos_per_m * np.sqrt(max(dist_step, 0)), 2)
+        odom_drift[2] += rng.normal(0, cfg.odom_drift_yaw_per_m * np.sqrt(max(dist_step, 0)))
+        odom_pos = pos + np.array([odom_drift[0], odom_drift[1], 0.0]) + rng.normal(
+            0, cfg.odom_pos_noise_std, 3
+        )
+        odom_yaw = yaw + odom_drift[2] + rng.normal(0, cfg.odom_yaw_noise_std)
+        odom_pose = np.concatenate([odom_pos, [0.0, 0.0, odom_yaw]])
+        odom_cov = np.diag([cfg.odom_pos_noise_std**2] * 3 + [cfg.odom_yaw_noise_std**2] * 3)
+        odom_cov[2, 2] = C.ODOM_Z_VARIANCE_PRIOR  # z-variance floor
+        v_body = _yaw_R(np.asarray(yaw)).T @ v_world + rng.normal(0, cfg.odom_vel_noise_std, 3)
+        odom_twist = np.concatenate([v_body, [0.0, 0.0, wz + rng.normal(0, 1e-3)]])
+        odom_twist_cov = np.diag([cfg.odom_vel_noise_std**2] * 3 + [1e-6] * 3)
+
+        f = BELIEF_DTYPE
+        batches.append(
+            ScanBatch(
+                points=jnp.asarray(p_body, dtype=POINT_DTYPE),
+                point_stamps=jnp.asarray(pt_times, dtype=f),
+                point_weights=jnp.asarray(weights, dtype=POINT_DTYPE),
+                point_ring=jnp.zeros((cfg.n_points,), dtype=jnp.int32),
+                point_tag=jnp.zeros((cfg.n_points,), dtype=jnp.int32),
+                imu_stamps=jnp.asarray(imu_stamps, dtype=f),
+                imu_gyro=jnp.asarray(imu_gyro, dtype=f),
+                imu_accel=jnp.asarray(imu_accel, dtype=f),
+                odom_pose=jnp.asarray(odom_pose, dtype=f),
+                odom_cov=jnp.asarray(odom_cov, dtype=f),
+                odom_twist=jnp.asarray(odom_twist, dtype=f),
+                odom_twist_cov=jnp.asarray(odom_twist_cov, dtype=f),
+                cam_Lambdas=jnp.zeros((C.N_FEAT, 3, 3), dtype=f),
+                cam_thetas=jnp.zeros((C.N_FEAT, 3), dtype=f),
+                cam_etas=jnp.zeros((C.N_FEAT, C.VMF_N_LOBES, 3), dtype=f),
+                cam_weights=jnp.zeros((C.N_FEAT,), dtype=f),
+                cam_colors=jnp.zeros((C.N_FEAT, 3), dtype=f),
+                cam_valid=jnp.zeros((C.N_FEAT,), dtype=bool),
+                scan_start_time=jnp.asarray(scan_start, dtype=f),
+                scan_end_time=jnp.asarray(scan_end, dtype=f),
+                t_scan=jnp.asarray(t_scan, dtype=f),
+                t_last_scan=jnp.asarray(t_last_scan, dtype=f),
+                dt_sec=jnp.asarray(t_scan - t_last_scan, dtype=f),
+                scan_seq=jnp.asarray(k, dtype=jnp.int32),
+            )
+        )
+        t_last_scan = t_scan
+
+    return SyntheticRun(batches=batches, gt_poses=gt_poses, gt_times=gt_times)

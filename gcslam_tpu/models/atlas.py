@@ -1,0 +1,634 @@
+"""Device-resident tiled primitive atlas + the whole map-side pipeline.
+
+The reference keeps the map as a Python dict of 50k-slot tiles mutated by
+per-tile/per-block Python loops (backend/structures/primitive_map.py:182-2031,
+backend/pipeline.py:1258-1447 — its own docs flag those loops as the main
+dispatch bottleneck). Here the atlas is a FIXED-CAPACITY HBM-resident
+structure-of-arrays:
+
+    tile table:  tile_ids (T,) int64 (-1 empty), LRU stamps (T,)
+    primitives:  (T, M_TILE, ...) SoA — Gaussian info form (Lambda, theta),
+                 multi-lobe vMF etas, mass/recency/provenance/color
+
+so that EVERY map operation — recency inflation, view extraction, OT
+association, fuse, insert-with-eviction, cull, forget, merge-reduce — is a
+fixed-shape gather/scatter over the active-tile stencil, inside the one
+jitted scan step. Tile allocation is deterministic: match > empty slot > LRU
+eviction (evicted mass is certified, mirroring the reference's declared
+budgeting approximations).
+
+Capacity note: the reference atlas is unbounded (dict); this one holds
+ATLAS_MAX_TILES tiles of M_TILE primitives. Tiles that fall out of the LRU
+horizon are forgotten — a declared fixed-budget deviation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.models.batch import MeasurementBatch, from_camera_and_surfels, mean_positions
+from gcslam_tpu.models.config import PipelineConfig
+from gcslam_tpu.ops import linalg, se3, tiling
+from gcslam_tpu.ops.certs import make_cert, TRIGGERS
+from gcslam_tpu.ops.surfels import extract_surfels
+
+MAPF = POINT_DTYPE  # map storage dtype (f32: bulk point-path data)
+
+
+class AtlasState(NamedTuple):
+    tile_ids: jnp.ndarray  # (T,) int64, -1 = empty
+    tile_last_active: jnp.ndarray  # (T,) int32 scan_seq for LRU
+    Lambdas: jnp.ndarray  # (T, M, 3, 3)
+    thetas: jnp.ndarray  # (T, M, 3)
+    etas: jnp.ndarray  # (T, M, B, 3)
+    weights: jnp.ndarray  # (T, M)
+    timestamps: jnp.ndarray  # (T, M)
+    created: jnp.ndarray  # (T, M)
+    last_supported: jnp.ndarray  # (T, M) int32 scan seq
+    last_update: jnp.ndarray  # (T, M) int32
+    primitive_ids: jnp.ndarray  # (T, M) int32, -1 invalid
+    valid: jnp.ndarray  # (T, M) bool
+    cam_mass: jnp.ndarray  # (T, M)
+    lidar_mass: jnp.ndarray  # (T, M)
+    rgb_accum: jnp.ndarray  # (T, M, 3) camera color numerator
+    rgb_denom: jnp.ndarray  # (T, M)
+    rgb: jnp.ndarray  # (T, M, 3) canonical color (camera-dominant)
+    next_global_id: jnp.ndarray  # () int32
+
+
+def empty_atlas(cfg: PipelineConfig) -> AtlasState:
+    T, M, B = cfg.atlas_max_tiles, cfg.m_tile, C.VMF_N_LOBES
+    return AtlasState(
+        tile_ids=jnp.full((T,), -1, dtype=jnp.int64),
+        tile_last_active=jnp.full((T,), -1, dtype=jnp.int32),
+        Lambdas=jnp.zeros((T, M, 3, 3), dtype=MAPF),
+        thetas=jnp.zeros((T, M, 3), dtype=MAPF),
+        etas=jnp.zeros((T, M, B, 3), dtype=MAPF),
+        weights=jnp.zeros((T, M), dtype=MAPF),
+        timestamps=jnp.zeros((T, M), dtype=MAPF),
+        created=jnp.zeros((T, M), dtype=MAPF),
+        last_supported=jnp.zeros((T, M), dtype=jnp.int32),
+        last_update=jnp.zeros((T, M), dtype=jnp.int32),
+        primitive_ids=jnp.full((T, M), -1, dtype=jnp.int32),
+        valid=jnp.zeros((T, M), dtype=bool),
+        cam_mass=jnp.zeros((T, M), dtype=MAPF),
+        lidar_mass=jnp.zeros((T, M), dtype=MAPF),
+        rgb_accum=jnp.zeros((T, M, 3), dtype=MAPF),
+        rgb_denom=jnp.zeros((T, M), dtype=MAPF),
+        rgb=jnp.full((T, M, 3), 0.5, dtype=MAPF),
+        next_global_id=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile table ops
+# ---------------------------------------------------------------------------
+
+
+def lookup_tiles(atlas: AtlasState, query_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(S,) int64 -> (slot (S,) int32, found (S,) bool). Misses return slot 0."""
+    eq = atlas.tile_ids[None, :] == query_ids[:, None]  # (S, T)
+    found = jnp.any(eq, axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    return jnp.where(found, slot, 0), found
+
+
+def allocate_tiles(
+    atlas: AtlasState, query_ids: jnp.ndarray, scan_seq: jnp.ndarray
+) -> Tuple[AtlasState, jnp.ndarray]:
+    """Ensure all query tile ids have table slots. Deterministic policy:
+    existing match > empty slot > least-recently-active eviction (the evicted
+    tile's content is cleared). Returns (atlas', slots (S,) int32)."""
+    S = query_ids.shape[0]
+    T = atlas.tile_ids.shape[0]
+
+    def body(i, carry):
+        atlas_c, slots = carry
+        qid = query_ids[i]
+        eq = atlas_c.tile_ids == qid
+        found = jnp.any(eq)
+        match_slot = jnp.argmax(eq).astype(jnp.int32)
+        # score: empty slots best (very old), then LRU
+        busy = atlas_c.tile_ids >= 0
+        score = jnp.where(busy, atlas_c.tile_last_active, jnp.int32(-2_000_000_000))
+        victim = jnp.argmin(score).astype(jnp.int32)
+        slot = jnp.where(found, match_slot, victim)
+        # clear victim content on allocation (only when not found)
+        def clear_tile(a: AtlasState) -> AtlasState:
+            z = lambda x: x.at[slot].set(jnp.zeros_like(x[slot]))
+            return a._replace(
+                Lambdas=z(a.Lambdas),
+                thetas=z(a.thetas),
+                etas=z(a.etas),
+                weights=z(a.weights),
+                timestamps=z(a.timestamps),
+                created=z(a.created),
+                last_supported=z(a.last_supported),
+                last_update=z(a.last_update),
+                primitive_ids=a.primitive_ids.at[slot].set(-1),
+                valid=a.valid.at[slot].set(False),
+                cam_mass=z(a.cam_mass),
+                lidar_mass=z(a.lidar_mass),
+                rgb_accum=z(a.rgb_accum),
+                rgb_denom=z(a.rgb_denom),
+                rgb=a.rgb.at[slot].set(0.5),
+            )
+
+        atlas_c = jax.lax.cond(found, lambda a: a, clear_tile, atlas_c)
+        atlas_c = atlas_c._replace(
+            tile_ids=atlas_c.tile_ids.at[slot].set(qid),
+            tile_last_active=atlas_c.tile_last_active.at[slot].set(scan_seq.astype(jnp.int32)),
+        )
+        return atlas_c, slots.at[i].set(slot)
+
+    slots0 = jnp.zeros((S,), dtype=jnp.int32)
+    atlas, slots = jax.lax.fori_loop(0, S, body, (atlas, slots0))
+    return atlas, slots
+
+
+# ---------------------------------------------------------------------------
+# Recency inflation (reference primitive_map.py:1404-1486)
+# ---------------------------------------------------------------------------
+
+
+def recency_inflate(
+    atlas: AtlasState, tile_slots: jnp.ndarray, scan_seq: jnp.ndarray, cfg: PipelineConfig
+) -> Tuple[AtlasState, jnp.ndarray]:
+    """Downscale precision of stale primitives in the given tiles:
+    decay = clip(exp(-lambda dt_scan), min_scale, 1); mean-preserving
+    (Lambda and theta scaled together). Returns (atlas', downscale_total)."""
+    dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - atlas.last_supported[tile_slots])
+    decay = jnp.exp(-cfg.recency_decay_lambda * dt.astype(MAPF))
+    decay = jnp.clip(decay, cfg.recency_min_scale, 1.0)
+    decay = jnp.where(atlas.valid[tile_slots], decay, 1.0)  # (S, M)
+    Lam = atlas.Lambdas.at[tile_slots].multiply(decay[..., None, None])
+    th = atlas.thetas.at[tile_slots].multiply(decay[..., None])
+    downscale = jnp.sum((1.0 - decay) * atlas.valid[tile_slots].astype(MAPF))
+    return atlas._replace(Lambdas=Lam, thetas=th), downscale
+
+
+# ---------------------------------------------------------------------------
+# View extraction (reference extract_atlas_map_view, primitive_map.py:346-436)
+# ---------------------------------------------------------------------------
+
+
+class AtlasView(NamedTuple):
+    """Fixed-size stitched candidate pool over the stencil tiles.
+
+    Pool row p = tile_pos * m_view + k; addressing back into the atlas via
+    (tile_slot[p], slot[p])."""
+
+    positions: jnp.ndarray  # (P, 3) world, f64
+    directions: jnp.ndarray  # (P, 3)
+    kappas: jnp.ndarray  # (P,)
+    weights: jnp.ndarray  # (P,)
+    valid: jnp.ndarray  # (P,) bool
+    primitive_ids: jnp.ndarray  # (P,) int32
+    last_supported: jnp.ndarray  # (P,) int32
+    tile_slot: jnp.ndarray  # (P,) int32 (atlas tile-table slot)
+    slot: jnp.ndarray  # (P,) int32 (slot within tile)
+
+
+def extract_view(
+    atlas: AtlasState, tile_slots: jnp.ndarray, tile_found: jnp.ndarray, cfg: PipelineConfig
+) -> AtlasView:
+    """Top m_tile_view slots per stencil tile by weight (deterministic
+    tie-break by primitive id), stitched into one pool."""
+    S = tile_slots.shape[0]
+    V = cfg.m_tile_view
+
+    w = atlas.weights[tile_slots]  # (S, M)
+    valid = atlas.valid[tile_slots] & tile_found[:, None]
+    pid = atlas.primitive_ids[tile_slots]
+    score = jnp.where(valid, w, -jnp.inf)
+    # top-V by weight; jax.lax.top_k breaks ties by lowest index (slot order),
+    # matching the reference's deterministic ordering intent.
+    _, top_slots = jax.lax.top_k(score, V)  # (S, V)
+
+    Lam = jnp.take_along_axis(atlas.Lambdas[tile_slots], top_slots[:, :, None, None], axis=1)
+    th = jnp.take_along_axis(atlas.thetas[tile_slots], top_slots[:, :, None], axis=1)
+    eta = jnp.take_along_axis(atlas.etas[tile_slots], top_slots[:, :, None, None], axis=1)
+    wv = jnp.take_along_axis(w, top_slots, axis=1)
+    vv = jnp.take_along_axis(valid, top_slots, axis=1)
+    pv = jnp.take_along_axis(pid, top_slots, axis=1)
+    ls = jnp.take_along_axis(atlas.last_supported[tile_slots], top_slots, axis=1)
+
+    f64 = BELIEF_DTYPE
+    Lam64 = Lam.reshape(-1, 3, 3).astype(f64) + C.EPS_LIFT * jnp.eye(3, dtype=f64)
+    pos = jnp.linalg.solve(Lam64, th.reshape(-1, 3).astype(f64)[..., None])[..., 0]
+    eta_sum = jnp.sum(eta.reshape(-1, C.VMF_N_LOBES, 3).astype(f64), axis=1)
+    kap = jnp.linalg.norm(eta_sum, axis=-1)
+    dirs = eta_sum / (kap[:, None] + C.EPS_MASS)
+
+    return AtlasView(
+        positions=pos,
+        directions=dirs,
+        kappas=kap,
+        weights=wv.reshape(-1).astype(f64),
+        valid=vv.reshape(-1),
+        primitive_ids=pv.reshape(-1),
+        last_supported=ls.reshape(-1),
+        tile_slot=jnp.repeat(tile_slots, V),
+        slot=top_slots.reshape(-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map evidence closure for the hypothesis step (steps 7-8)
+# ---------------------------------------------------------------------------
+
+
+class MapExtras(NamedTuple):
+    """Per-hypothesis map-branch products needed by the shared map update."""
+
+    batch: MeasurementBatch
+    responsibilities: jnp.ndarray  # (N, K)
+    cand_pool: jnp.ndarray  # (N, K) int32 pool rows
+    row_masses: jnp.ndarray  # (N,)
+    ot_transport_mass: jnp.ndarray
+    ot_marginal_defect_a: jnp.ndarray
+
+
+def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
+    """Returns the map-branch closure used inside the vmapped hypothesis step.
+    The view is shared (extracted once per scan); per-hypothesis deskewed
+    points produce per-hypothesis surfels/associations."""
+    from gcslam_tpu.ops import association as assoc_mod
+    from gcslam_tpu.ops import evidence_pose
+
+    def map_evidence(deskewed_points, deskewed_weights, batch_in, z_lin_pose, belief_pred):
+        surfels, surf_cert = extract_surfels(
+            deskewed_points, batch_in.point_stamps, deskewed_weights,
+            cfg.n_surfel, cfg.surfel_voxel_size_m, cfg.surfel_min_points_per_voxel,
+        )
+        mbatch = from_camera_and_surfels(
+            batch_in.cam_Lambdas, batch_in.cam_thetas, batch_in.cam_etas,
+            batch_in.cam_weights, batch_in.cam_colors,
+            batch_in.cam_valid if cfg.with_camera else jnp.zeros_like(batch_in.cam_valid),
+            batch_in.t_scan,
+            surfels.positions, surfels.Lambdas, surfels.normals, surfels.kappas,
+            surfels.weights, surfels.timestamps, surfels.valid,
+        )
+        assoc, assoc_cert = assoc_mod.associate_primitives_ot(
+            mbatch, atlas_view, batch_in.scan_seq, cfg
+        )
+        L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
+            assoc, mbatch, atlas_view, z_lin_pose, cfg
+        )
+        extras = MapExtras(
+            batch=mbatch,
+            responsibilities=assoc.responsibilities,
+            cand_pool=assoc.cand_pool,
+            row_masses=assoc.row_masses,
+            ot_transport_mass=assoc.transport_mass,
+            ot_marginal_defect_a=assoc.marginal_defect_a,
+        )
+        return L_lidar, h_lidar, [surf_cert, assoc_cert, vis_cert], extras
+
+    return map_evidence
+
+
+# ---------------------------------------------------------------------------
+# Map update (step 15: fuse / insert / cull / forget / merge) — hypothesis 0
+# ---------------------------------------------------------------------------
+
+
+def _transform_to_world(Lam_b, th_b, eta_b, R, t, eps_lift):
+    """Gaussian info form + vMF lobes, body -> world at pose (R, t).
+    (reference pipeline.py:1248-1256)."""
+    Lam_w = jnp.einsum("ij,njk,lk->nil", R, Lam_b, R)
+    mu_b = jnp.linalg.solve(Lam_b + eps_lift * jnp.eye(3, dtype=Lam_b.dtype), th_b[..., None])[..., 0]
+    mu_w = mu_b @ R.T + t[None, :]
+    th_w = jnp.einsum("nij,nj->ni", Lam_w, mu_w)
+    eta_w = jnp.einsum("ij,nbj->nbi", R, eta_b)
+    return Lam_w, th_w, eta_w, mu_w
+
+
+def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
+          Lam_w, th_w, eta_w, scan_seq, timestamp, cfg: PipelineConfig):
+    """PoE scatter-add fuse of all (meas, candidate) pairs in ONE pass
+    (replaces the reference's Python block x tile loops, pipeline.py:1258-1327)."""
+    T, M = atlas.weights.shape
+    N, K = extras.responsibilities.shape
+    pool = extras.cand_pool.reshape(-1)  # (N*K,)
+    resp = extras.responsibilities.reshape(-1).astype(MAPF)
+    pair_valid = (extras.batch.valid[:, None] & view.valid[pool].reshape(N, K)).reshape(-1)
+    resp = resp * pair_valid.astype(MAPF)
+
+    tile_slot = view.tile_slot[pool]  # (N*K,)
+    slot = view.slot[pool]
+    flat = jnp.where(pair_valid, tile_slot * M + slot, -1)  # drop invalid
+
+    rep = lambda x: jnp.repeat(x, K, axis=0)
+    Lam_m = rep(Lam_w).astype(MAPF)
+    th_m = rep(th_w).astype(MAPF)
+    eta_m = rep(eta_w).astype(MAPF)
+    w_m = rep(extras.batch.weights).astype(MAPF)
+    col_m = rep(extras.batch.colors).astype(MAPF)
+    is_cam = rep((extras.batch.sources == 0)).astype(MAPF)
+    is_lid = rep((extras.batch.sources == 1)).astype(MAPF)
+
+    r = resp[:, None, None]
+    rv = resp[:, None]
+
+    def sadd(arr, val):
+        shp = arr.shape
+        return arr.reshape((T * M,) + shp[2:]).at[flat].add(val, mode="drop").reshape(shp)
+
+    Lambdas = sadd(atlas.Lambdas, r * Lam_m)
+    thetas = sadd(atlas.thetas, rv * th_m)
+    etas = sadd(atlas.etas, resp[:, None, None] * eta_m)
+    weights = sadd(atlas.weights, resp * w_m)
+    cam_mass = sadd(atlas.cam_mass, resp * w_m * is_cam)
+    lidar_mass = sadd(atlas.lidar_mass, resp * w_m * is_lid)
+    rgb_accum = sadd(atlas.rgb_accum, col_m * (resp * w_m * is_cam)[:, None])
+    rgb_denom = sadd(atlas.rgb_denom, resp * w_m * is_cam)
+
+    resp_sum = jnp.zeros((T * M,), dtype=MAPF).at[flat].add(resp, mode="drop").reshape(T, M)
+    updated = resp_sum > 0.0
+    last_supported = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_supported)
+    last_update = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_update)
+    timestamps = jnp.where(updated, timestamp.astype(MAPF), atlas.timestamps)
+
+    has_cam = cam_mass > 0.0
+    rgb_est = jnp.clip(rgb_accum / jnp.maximum(rgb_denom[..., None], cfg.eps_mass), 0.0, 1.0)
+    rgb = jnp.where(has_cam[..., None], rgb_est, 0.5)
+
+    fused_mass = jnp.sum(resp * w_m)
+    atlas = atlas._replace(
+        Lambdas=Lambdas, thetas=thetas, etas=etas, weights=weights,
+        timestamps=timestamps, last_supported=last_supported, last_update=last_update,
+        cam_mass=cam_mass, lidar_mass=lidar_mass,
+        rgb_accum=rgb_accum, rgb_denom=rgb_denom, rgb=rgb,
+    )
+    return atlas, fused_mass
+
+
+def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
+            active_slots, active_ids, scan_seq, timestamp, cfg: PipelineConfig):
+    """Novelty-driven fixed-budget insert with lowest-retention eviction
+    (reference pipeline.py:1329-1410 + primitive_map_insert_masked)."""
+    T, M = atlas.weights.shape
+    A = active_slots.shape[0]
+    Kin = cfg.k_insert_tile
+    b = extras.batch
+
+    a = b.valid.astype(BELIEF_DTYPE)
+    a = a / jnp.maximum(jnp.sum(a), cfg.eps_mass)
+    novelty = jnp.maximum(a - extras.row_masses, 0.0)
+    score = novelty * b.weights - (1.0 - b.valid.astype(BELIEF_DTYPE)) * 1e6
+
+    meas_tile_ids = tiling.tile_ids_from_xyz(mu_w, cfg.h_tile)  # (N,)
+
+    # Per active tile: top-Kin in-tile proposals.
+    in_tile = meas_tile_ids[None, :] == active_ids[:, None]  # (A, N)
+    score_t = jnp.where(in_tile, score[None, :], -1e30)
+    top_score, top_idx = jax.lax.top_k(score_t, Kin)  # (A, Kin)
+    do_insert = top_score > -1e20  # in-tile & valid proposals
+
+    # Eviction targets: Kin lowest-retention slots per tile (invalid first).
+    dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - atlas.last_supported[active_slots])
+    decay = jnp.exp(-cfg.recency_decay_lambda * dt.astype(MAPF))
+    retention = atlas.weights[active_slots] * decay
+    retention = jnp.where(atlas.valid[active_slots], retention, -jnp.inf)
+    _, evict_slots = jax.lax.top_k(-retention, Kin)  # (A, Kin) lowest retention
+
+    # Gather proposal payloads.
+    w_new = (novelty * b.weights)[...]
+    gi = top_idx.reshape(-1)  # (A*Kin,)
+    ins_valid = do_insert.reshape(-1)
+    Lam_i = Lam_w[gi].astype(MAPF)
+    th_i = th_w[gi].astype(MAPF)
+    eta_i = eta_w[gi].astype(MAPF)
+    w_i = (w_new[gi] * ins_valid).astype(MAPF)
+    col_i = b.colors[gi].astype(MAPF)
+    cam_i = (b.sources[gi] == 0).astype(MAPF)
+
+    # Global ids via prefix sum over insert order.
+    order_ids = (atlas.next_global_id + jnp.cumsum(ins_valid.astype(jnp.int32)) - 1).astype(jnp.int32)
+    new_ids = jnp.where(ins_valid, order_ids, jnp.int32(-1))
+    n_inserted = jnp.sum(ins_valid.astype(jnp.int32)).astype(jnp.int32)
+
+    flat = jnp.where(
+        ins_valid,
+        jnp.repeat(active_slots, Kin) * M + evict_slots.reshape(-1),
+        -1,
+    )
+    # Mass of evicted (still-valid) slots — a certified budgeting approximation.
+    ret_gather = jnp.take_along_axis(
+        jnp.where(jnp.isfinite(retention), retention, 0.0), evict_slots, axis=1
+    ).reshape(-1)
+    evicted_mass = jnp.sum(ret_gather * ins_valid.astype(MAPF))
+
+    def sset(arr, val):
+        shp = arr.shape
+        return arr.reshape((T * M,) + shp[2:]).at[flat].set(val, mode="drop").reshape(shp)
+
+    has_cam = cam_i * (w_i > 0)
+    rgb_new = jnp.where((has_cam > 0)[:, None], jnp.clip(col_i, 0.0, 1.0), 0.5)
+    atlas = atlas._replace(
+        Lambdas=sset(atlas.Lambdas, Lam_i),
+        thetas=sset(atlas.thetas, th_i),
+        etas=sset(atlas.etas, eta_i),
+        weights=sset(atlas.weights, w_i),
+        timestamps=sset(atlas.timestamps, jnp.full_like(w_i, timestamp.astype(MAPF))),
+        created=sset(atlas.created, jnp.full_like(w_i, timestamp.astype(MAPF))),
+        last_supported=sset(atlas.last_supported, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
+        last_update=sset(atlas.last_update, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
+        primitive_ids=sset(atlas.primitive_ids, new_ids),
+        valid=sset(atlas.valid, jnp.ones_like(ins_valid)),
+        cam_mass=sset(atlas.cam_mass, w_i * cam_i),
+        lidar_mass=sset(atlas.lidar_mass, w_i * (1.0 - cam_i)),
+        rgb_accum=sset(atlas.rgb_accum, col_i * (w_i * cam_i)[:, None]),
+        rgb_denom=sset(atlas.rgb_denom, w_i * cam_i),
+        rgb=sset(atlas.rgb, rgb_new),
+        next_global_id=(atlas.next_global_id + n_inserted).astype(jnp.int32),
+    )
+    insert_mass = jnp.sum(w_i)
+    return atlas, insert_mass, evicted_mass
+
+
+def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
+    """Cull below-threshold weights + continuous forgetting, active tiles only
+    (reference primitive_map.py:1157-1386)."""
+    w_act = atlas.weights[active_slots]
+    v_act = atlas.valid[active_slots]
+    below = v_act & (w_act < cfg.cull_weight_threshold)
+    mass_dropped = jnp.sum(w_act * below.astype(MAPF))
+    n_culled = jnp.sum(below.astype(jnp.int32))
+    valid = atlas.valid.at[active_slots].set(v_act & ~below)
+    weights = atlas.weights.at[active_slots].set(w_act * cfg.forgetting_factor)
+    return atlas._replace(valid=valid, weights=weights), mass_dropped, n_culled
+
+
+V_MERGE = 128  # merge-reduce candidate window per tile (fixed budget)
+
+
+def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
+    """Bhattacharyya merge-reduce, <= k_merge_pairs per active tile.
+
+    Fixed-budget redesign of reference primitive_map.py:1501-1900: per tile,
+    only the top V_MERGE-by-weight slots are merge candidates (declared
+    budgeting approximation; the reference caps at tile size 2048 and merges
+    the 4 closest pairs — which essentially always live among high-mass
+    primitives). Greedy disjoint pair selection = k iterations of masked
+    argmin. Merged moments are weight-matched Gaussian moments; vMF lobes and
+    provenance add; the losing slot is invalidated.
+    """
+    Kp = cfg.k_merge_pairs_tile
+    A = active_slots.shape[0]
+    Mfull = atlas.weights.shape[1]
+    f64 = BELIEF_DTYPE
+
+    w_all = atlas.weights[active_slots]
+    v_all = atlas.valid[active_slots]
+    score = jnp.where(v_all, w_all, -jnp.inf)
+    _, cand = jax.lax.top_k(score, V_MERGE)  # (A, V)
+
+    def per_tile(tslot, cand_slots):
+        Lam = jnp.take(atlas.Lambdas[tslot], cand_slots, axis=0).astype(f64)
+        th = jnp.take(atlas.thetas[tslot], cand_slots, axis=0).astype(f64)
+        w = jnp.take(atlas.weights[tslot], cand_slots).astype(f64)
+        v = jnp.take(atlas.valid[tslot], cand_slots)
+        Lam_r = Lam + C.EPS_LIFT * jnp.eye(3, dtype=f64)
+        mu = jnp.linalg.solve(Lam_r, th[..., None])[..., 0]
+        Sig = jnp.linalg.inv(Lam_r)
+        det = jnp.linalg.det(Sig)
+
+        S = 0.5 * (Sig[:, None] + Sig[None, :])  # (V, V, 3, 3)
+        detS = jnp.linalg.det(S)
+        Sinv = jnp.linalg.inv(S + C.EPS_LIFT * jnp.eye(3, dtype=f64))
+        dmu = mu[:, None, :] - mu[None, :, :]
+        quad = 0.125 * jnp.einsum("abi,abij,abj->ab", dmu, Sinv, dmu)
+        logt = 0.5 * jnp.log(detS / jnp.sqrt(det[:, None] * det[None, :] + 1e-24))
+        dist = quad + logt
+        pair_ok = v[:, None] & v[None, :]
+        iu = jnp.triu_indices(V_MERGE, k=1)
+        dist = jnp.where(pair_ok, dist, jnp.inf)
+        dist = dist.at[jnp.tril_indices(V_MERGE)].set(jnp.inf)
+        return dist, mu, Sig, w, v
+
+    dists, mus, Sigs, ws, vs = jax.vmap(per_tile)(active_slots, cand)
+
+    # Greedy disjoint selection: Kp iterations of masked argmin per tile.
+    def select(dist):
+        V = V_MERGE
+
+        def body(k, carry):
+            dist_c, sel_i, sel_j, n_sel = carry
+            flat = jnp.argmin(dist_c)
+            i = (flat // V).astype(jnp.int32)
+            j = (flat % V).astype(jnp.int32)
+            ok = dist_c[i, j] < cfg.merge_threshold
+            sel_i = sel_i.at[k].set(jnp.where(ok, i, -1))
+            sel_j = sel_j.at[k].set(jnp.where(ok, j, -1))
+            # mask used rows/cols
+            big = jnp.inf
+            dist_c = jnp.where(ok, dist_c.at[i, :].set(big).at[:, i].set(big)
+                               .at[j, :].set(big).at[:, j].set(big), dist_c)
+            return dist_c, sel_i, sel_j, n_sel + ok.astype(jnp.int32)
+
+        sel_i0 = jnp.full((Kp,), -1, dtype=jnp.int32)
+        sel_j0 = jnp.full((Kp,), -1, dtype=jnp.int32)
+        _, sel_i, sel_j, n_sel = jax.lax.fori_loop(0, Kp, body, (dist, sel_i0, sel_j0, 0))
+        return sel_i, sel_j, n_sel
+
+    sel_i, sel_j, n_sel = jax.vmap(select)(dists)  # (A, Kp)
+
+    # Apply merges: moment-matched Gaussian, summed vMF/provenance.
+    T, M = atlas.weights.shape
+
+    def apply_pairs(atlas_c):
+        def body(flatk, a):
+            ti = flatk // Kp
+            k = flatk % Kp
+            i = sel_i[ti, k]
+            j = sel_j[ti, k]
+            ok = i >= 0
+
+            ci = cand[ti, jnp.maximum(i, 0)]
+            cj = cand[ti, jnp.maximum(j, 0)]
+            tslot = active_slots[ti]
+            w1 = ws[ti, jnp.maximum(i, 0)]
+            w2 = ws[ti, jnp.maximum(j, 0)]
+            wsum = w1 + w2
+            wsafe = jnp.maximum(wsum, C.EPS_MASS)
+            mu1, mu2 = mus[ti, jnp.maximum(i, 0)], mus[ti, jnp.maximum(j, 0)]
+            S1, S2 = Sigs[ti, jnp.maximum(i, 0)], Sigs[ti, jnp.maximum(j, 0)]
+            mu_m = (w1 * mu1 + w2 * mu2) / wsafe
+            d1 = (mu1 - mu_m)[:, None]
+            d2 = (mu2 - mu_m)[:, None]
+            S_m = (w1 * (S1 + d1 @ d1.T) + w2 * (S2 + d2 @ d2.T)) / wsafe
+            S_m = S_m + C.EPS_PSD * jnp.eye(3, dtype=S_m.dtype)
+            Lam_m = jnp.linalg.inv(S_m)
+            th_m = Lam_m @ mu_m
+
+            eta_m = (w1 * a.etas[tslot, ci].astype(BELIEF_DTYPE)
+                     + w2 * a.etas[tslot, cj].astype(BELIEF_DTYPE)) / wsafe
+
+            def do(a2: AtlasState) -> AtlasState:
+                return a2._replace(
+                    Lambdas=a2.Lambdas.at[tslot, ci].set(Lam_m.astype(MAPF)),
+                    thetas=a2.thetas.at[tslot, ci].set(th_m.astype(MAPF)),
+                    etas=a2.etas.at[tslot, ci].set(eta_m.astype(MAPF)),
+                    weights=a2.weights.at[tslot, ci].set(wsum.astype(MAPF))
+                    .at[tslot, cj].set(0.0),
+                    valid=a2.valid.at[tslot, cj].set(False),
+                    cam_mass=a2.cam_mass.at[tslot, ci].add(a2.cam_mass[tslot, cj])
+                    .at[tslot, cj].set(0.0),
+                    lidar_mass=a2.lidar_mass.at[tslot, ci].add(a2.lidar_mass[tslot, cj])
+                    .at[tslot, cj].set(0.0),
+                    rgb_accum=a2.rgb_accum.at[tslot, ci].add(a2.rgb_accum[tslot, cj]),
+                    rgb_denom=a2.rgb_denom.at[tslot, ci].add(a2.rgb_denom[tslot, cj]),
+                    last_supported=a2.last_supported.at[tslot, ci].set(
+                        jnp.maximum(a2.last_supported[tslot, ci], a2.last_supported[tslot, cj])
+                    ),
+                )
+
+            return jax.lax.cond(ok, do, lambda a2: a2, a)
+
+        return jax.lax.fori_loop(0, A * Kp, body, atlas_c)
+
+    atlas = apply_pairs(atlas)
+    return atlas, jnp.sum(n_sel)
+
+
+def map_update_step(
+    atlas: AtlasState,
+    view: AtlasView,
+    extras: MapExtras,
+    z_t_pose: jnp.ndarray,
+    active_slots: jnp.ndarray,
+    active_ids: jnp.ndarray,
+    scan_seq: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    cfg: PipelineConfig,
+):
+    """Full step-15 map update at z_t (post-recompose pose of hypothesis 0)."""
+    R_t = se3.so3_exp(z_t_pose[3:6])
+    t_t = z_t_pose[:3]
+    b = extras.batch
+    Lam_w, th_w, eta_w, mu_w = _transform_to_world(
+        b.Lambdas, b.thetas, b.etas, R_t, t_t, cfg.eps_lift
+    )
+
+    atlas, fused_mass = _fuse(atlas, view, extras, Lam_w, th_w, eta_w, scan_seq, timestamp, cfg)
+    atlas, insert_mass, evicted_mass = _insert(
+        atlas, extras, mu_w, Lam_w, th_w, eta_w, active_slots, active_ids, scan_seq, timestamp, cfg
+    )
+    atlas, cull_mass, n_culled = _cull_forget(atlas, active_slots, cfg)
+    atlas, n_merged = _merge_reduce(atlas, active_slots, cfg)
+
+    tape = dict(
+        fused_mass=fused_mass.astype(BELIEF_DTYPE),
+        insert_mass=insert_mass.astype(BELIEF_DTYPE),
+        evicted_mass=(evicted_mass + cull_mass).astype(BELIEF_DTYPE),
+        n_culled=n_culled.astype(BELIEF_DTYPE),
+        n_merged=n_merged.astype(BELIEF_DTYPE),
+        valid_total=jnp.sum(atlas.valid.astype(BELIEF_DTYPE)),
+        ot_transport_mass=extras.ot_transport_mass.astype(BELIEF_DTYPE),
+        ot_marginal_defect_a=extras.ot_marginal_defect_a.astype(BELIEF_DTYPE),
+    )
+    return atlas, tape

@@ -1,0 +1,97 @@
+"""Gaussian belief in information form on the 22D anchor chart.
+
+Functional pytree counterpart of the reference's BeliefGaussianInfo dataclass
+(fl_slam_poc/common/belief.py:197-460): chart GC-RIGHT-01, belief =
+(X_anchor, z_lin, L, h) with the declared lifted solve
+delta_z* = (L + eps_lift I)^{-1} h and world pose X_anchor ∘ Exp(delta_xi_pose).
+
+Being a NamedTuple of arrays, a Belief stacks under vmap (hypotheses) and
+lax.scan (time) with zero glue. chart_id/anchor_id are not carried per-array
+— the chart is a compile-time contract checked by the manifest.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.ops import linalg, se3
+
+
+class Belief(NamedTuple):
+    X_anchor: jnp.ndarray  # (..., 6) SE(3) anchor as [trans, rotvec]
+    z_lin: jnp.ndarray  # (..., 22) linearization point in chart coords
+    L: jnp.ndarray  # (..., 22, 22) information matrix (PSD)
+    h: jnp.ndarray  # (..., 22) information vector
+    stamp: jnp.ndarray  # (...,) seconds
+
+
+def identity_prior(stamp: float = 0.0) -> Belief:
+    """Weak prior at the identity anchor with PHYSICALLY-SCALED per-block
+    variances.
+
+    The reference uses a uniform 1e-6 precision (belief.py:328-371), i.e.
+    1e6 variance on every coordinate — including a 1000-second time-offset
+    std, which drives the soft IMU window width sigma_warp = max(dt_std,
+    0.01) (pipeline.py:436-438) to ~1000 s and flattens the window weights
+    to 0.25 everywhere, silently under-integrating every IMU increment 4x.
+    Here each block gets a sane physical scale; pose stays uninformative.
+    """
+    var = jnp.concatenate(
+        [
+            jnp.full(3, 1e6, dtype=BELIEF_DTYPE),  # trans (m^2): unknown
+            jnp.full(3, 1e6, dtype=BELIEF_DTYPE),  # rot (rad^2): unknown
+            jnp.full(3, 1e2, dtype=BELIEF_DTYPE),  # vel: +-10 m/s
+            jnp.full(3, 1e-2, dtype=BELIEF_DTYPE),  # gyro bias: +-0.1 rad/s
+            jnp.full(3, 1e0, dtype=BELIEF_DTYPE),  # accel bias: +-1 m/s^2
+            jnp.full(1, 1e-4, dtype=BELIEF_DTYPE),  # time offset: +-10 ms
+            jnp.full(6, 1e-2, dtype=BELIEF_DTYPE),  # extrinsic: +-0.1
+        ]
+    )
+    return Belief(
+        X_anchor=jnp.zeros(6, dtype=BELIEF_DTYPE),
+        z_lin=jnp.zeros(C.D_Z, dtype=BELIEF_DTYPE),
+        L=jnp.diag(1.0 / var),
+        h=jnp.zeros(C.D_Z, dtype=BELIEF_DTYPE),
+        stamp=jnp.asarray(stamp, dtype=BELIEF_DTYPE),
+    )
+
+
+def from_moments(
+    X_anchor: jnp.ndarray,
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    stamp: jnp.ndarray,
+    eps_psd: float = C.EPS_PSD,
+    eps_lift: float = C.EPS_LIFT,
+) -> Belief:
+    """Moment form -> info form with PSD projections (belief.py:255-326)."""
+    cov_psd, _ = linalg.domain_projection_psd(cov, eps_psd)
+    L, _ = linalg.spd_inverse_lifted(cov_psd, eps_lift)
+    L_psd, _ = linalg.domain_projection_psd(L, eps_psd)
+    return Belief(
+        X_anchor=jnp.asarray(X_anchor, dtype=BELIEF_DTYPE),
+        z_lin=jnp.asarray(mean, dtype=BELIEF_DTYPE),
+        L=L_psd,
+        h=L_psd @ mean,
+        stamp=jnp.asarray(stamp, dtype=BELIEF_DTYPE),
+    )
+
+
+def mean_increment(b: Belief, eps_lift: float = C.EPS_LIFT) -> jnp.ndarray:
+    """MAP increment delta_z* = (L + eps I)^{-1} h (belief.py:373-386)."""
+    x, _ = linalg.spd_solve_lifted(b.L, b.h, eps_lift)
+    return x
+
+
+def to_moments(b: Belief, eps_lift: float = C.EPS_LIFT) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    mean = mean_increment(b, eps_lift)
+    cov, lift = linalg.spd_inverse_lifted(b.L, eps_lift)
+    return mean, cov, lift
+
+
+def world_pose(b: Belief, eps_lift: float = C.EPS_LIFT) -> jnp.ndarray:
+    """X_world = X_anchor ∘ Exp(delta_xi_pose) (belief.py:408-425)."""
+    delta = mean_increment(b, eps_lift)
+    return se3.se3_compose(b.X_anchor, se3.se3_exp(delta[..., 0:6]))

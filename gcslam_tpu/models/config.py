@@ -1,0 +1,123 @@
+"""Pipeline configuration — a frozen, hashable dataclass used as the STATIC
+argument of the jitted scan step (reference PipelineConfig,
+backend/pipeline.py:96-222, minus its mutable array fields: per-scan noise
+matrices are data inputs here, not config).
+
+All budgets mirror gcslam_tpu.constants; the config must MATCH the
+compile-time constants or the runner refuses to start (reference
+backend_node.py:548-586 budget fail-fast).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from gcslam_tpu import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # Budgets (hard constants)
+    k_hyp: int = C.K_HYP
+    n_points_cap: int = C.N_POINTS_CAP
+    n_feat: int = C.N_FEAT
+    n_surfel: int = C.N_SURFEL
+    max_imu_len: int = C.MAX_IMU_PREINT_LEN
+    k_assoc: int = C.K_ASSOC
+    k_sinkhorn: int = C.K_SINKHORN
+
+    # Epsilons
+    eps_psd: float = C.EPS_PSD
+    eps_lift: float = C.EPS_LIFT
+    eps_mass: float = C.EPS_MASS
+
+    # Fusion / tempering
+    alpha_min: float = C.ALPHA_MIN
+    alpha_max: float = C.ALPHA_MAX
+    kappa_scale: float = C.KAPPA_SCALE
+    c0_cond: float = C.C0_COND
+    power_beta_min: float = C.POWER_BETA_MIN
+    power_beta_exc_c: float = C.POWER_BETA_EXC_C
+    power_beta_z_c: float = C.POWER_BETA_Z_C
+    c_dt: float = C.C_DT
+    c_ex: float = C.C_EX
+    c_frob: float = C.C_FROB
+
+    # IMU
+    imu_gravity_scale: float = 1.0
+    deskew_rotation_only: bool = False
+    # 'predict' (default): preintegration propagates the mean EKF-style and
+    #   its noise inflates the covariance — the flagship filter.
+    # 'evidence': reference parity — pure-diffusion predict + preintegration
+    #   re-injected as additive evidence each scan
+    #   (operators/imu_preintegration_factor.py:798-817).
+    imu_mode: str = "predict"
+
+    # Planar priors
+    enable_planar_prior: bool = True
+    planar_z_ref: float = C.PLANAR_Z_REF
+    planar_z_sigma: float = C.PLANAR_Z_SIGMA
+    planar_vz_sigma: float = C.PLANAR_VZ_SIGMA
+    enable_odom_twist: bool = True
+
+    # Map / atlas budgets
+    with_map: bool = True
+    atlas_max_tiles: int = C.ATLAS_MAX_TILES
+    m_tile: int = C.M_TILE
+    m_tile_view: int = C.M_TILE_VIEW
+    h_tile: float = C.H_TILE
+    n_active_tiles: int = C.N_ACTIVE_TILES
+    n_stencil_tiles: int = C.N_STENCIL_TILES
+    r_active_xy: int = C.R_ACTIVE_TILES_XY
+    r_active_z: int = C.R_ACTIVE_TILES_Z
+    r_stencil_xy: int = C.R_STENCIL_TILES_XY
+    r_stencil_z: int = C.R_STENCIL_TILES_Z
+    recency_decay_lambda: float = C.RECENCY_DECAY_LAMBDA
+    recency_min_scale: float = C.RECENCY_MIN_SCALE
+    k_insert_tile: int = C.K_INSERT_TILE
+    k_merge_pairs_tile: int = C.K_MERGE_PAIRS_PER_TILE
+    merge_threshold: float = C.PRIMITIVE_MERGE_THRESHOLD
+    cull_weight_threshold: float = C.PRIMITIVE_CULL_WEIGHT_THRESHOLD
+    forgetting_factor: float = C.PRIMITIVE_FORGETTING_FACTOR
+
+    # OT association
+    ot_epsilon: float = C.OT_EPSILON
+    ot_tau_a: float = C.OT_TAU_A
+    ot_tau_b: float = C.OT_TAU_B
+    ot_cost_beta: float = C.OT_COST_BETA
+    # Deviation from the reference default (primitive_association.py:223):
+    # row-min subtraction erases the absolute cost scale, so every
+    # measurement's best candidate gets responsibility even when it is
+    # meters away — which both injects garbage pose evidence into a sparse
+    # map and kills the novelty signal that drives insertion. Absolute costs
+    # keep exp(-d^2/eps) as a ~0.5 m association radius.
+    ot_subtract_row_min: bool = False
+
+    # Surfel extraction
+    surfel_voxel_size_m: float = 0.1
+    surfel_min_points_per_voxel: int = 3
+    # Point-to-plane information for surfel pose evidence (see
+    # ops/evidence_pose.py; the reference uses full-matrix WLS).
+    pose_point_to_plane: bool = True
+    # Ablation/tuning: global scale on the map (primitive-alignment) pose
+    # evidence. 0 disables it (map maintenance still runs).
+    map_evidence_scale: float = 1.0
+
+    # Camera
+    with_camera: bool = False
+
+    def validate(self) -> None:
+        """Budget fail-fast against compiled constants (backend_node.py:548-586)."""
+        hard = {
+            "k_hyp": C.K_HYP,
+            "n_points_cap": C.N_POINTS_CAP,
+            "max_imu_len": C.MAX_IMU_PREINT_LEN,
+            "k_assoc": C.K_ASSOC,
+            "k_sinkhorn": C.K_SINKHORN,
+        }
+        for name, expected in hard.items():
+            got = getattr(self, name)
+            if got != expected:
+                raise ValueError(
+                    f"PipelineConfig.{name}={got} does not match compiled constant {expected}; "
+                    "budgets are compile-time constants (no silent overrides)."
+                )

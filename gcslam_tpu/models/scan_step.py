@@ -1,0 +1,587 @@
+"""THE scan step — the whole 14-step per-scan pipeline as one jitted,
+fixed-shape function.
+
+    scan_step(state, batch, config) -> (state', StepOutput)
+
+Everything the reference spreads over a ROS node + Python operator dispatch
+(backend/pipeline.py:316-1591 + backend_node.py:1651-2210) compiles here into
+a single XLA program: hypotheses are vmapped, the map lives in the carry as a
+device-resident atlas, IW states update in-graph, and the certificate system
+is a numeric pytree. A full run is `jax.lax.scan(scan_step, state0, batches)`
+or a host loop calling the jitted step for streaming.
+
+Canonical per-scan order (docs/PIPELINE_ORDER_AND_EVIDENCE.md; pipeline.py:342-361):
+  1 PointBudgetResample (done by the frontend: inputs arrive budgeted)
+  2 PredictDiffusion          3 soft IMU windows     4 preintegration x2
+  5 DeskewConstantTwist       6 IMU+odom evidence -> z_lin
+  7 surfels + OT association  8 primitive-alignment pose evidence
+  9 power tempering          10 excitation prior scaling
+ 11 fusion alpha             12 InfoFusionAdditive
+ 13 FrobeniusRecompose       14 IW suffstats
+ 15 map update (fuse/insert/cull/forget/merge)      16 AnchorDriftUpdate
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.models.belief import Belief, mean_increment, to_moments, world_pose
+from gcslam_tpu.models.config import PipelineConfig
+from gcslam_tpu.models.scan_io import ScanBatch
+from gcslam_tpu.ops import certs as CT
+from gcslam_tpu.ops import evidence_imu, evidence_odom, fusion, iw, linalg, recompose, se3
+from gcslam_tpu.ops.hypothesis import hypothesis_barycenter
+from gcslam_tpu.ops.preintegration import (
+    imu_integration_time,
+    imu_mean_sample_period,
+    preintegrate,
+)
+from gcslam_tpu.ops.windows import smooth_window_weights
+
+
+class StepState(NamedTuple):
+    """The carry: complete device-resident filter state (a pytree —
+    checkpointing the run is a single orbax/np.savez of this tuple)."""
+
+    beliefs: Belief  # stacked over K_HYP
+    hyp_weights: jnp.ndarray  # (K_HYP,)
+    process_iw: iw.ProcessNoiseIW
+    meas_iw: iw.MeasurementNoiseIW
+    atlas: object  # AtlasState | None (static presence via config.with_map)
+    scan_count: jnp.ndarray  # () int32
+
+
+class ScanTape(NamedTuple):
+    """Per-scan diagnostics (numeric MinimalScanTape,
+    reference backend/diagnostics.py:19-160). Stacks under lax.scan."""
+
+    timestamp: jnp.ndarray
+    dt_sec: jnp.ndarray
+    fusion_alpha: jnp.ndarray
+    power_beta: jnp.ndarray
+    cond_pose6: jnp.ndarray
+    eigmin_pose6: jnp.ndarray
+    total_trigger_magnitude: jnp.ndarray
+    cert_exact: jnp.ndarray
+    cert_frobenius_applied: jnp.ndarray
+    cert_n_triggers: jnp.ndarray
+    cert_triggers: jnp.ndarray  # uint32 bitmask
+    support_ess_total: jnp.ndarray
+    support_frac: jnp.ndarray
+    mismatch_nll_per_ess: jnp.ndarray
+    mismatch_directional_score: jnp.ndarray
+    excitation_dt_effect: jnp.ndarray
+    excitation_extrinsic_effect: jnp.ndarray
+    influence_psd_projection_delta: jnp.ndarray
+    influence_anchor_drift_rho: jnp.ndarray
+    influence_dt_scale: jnp.ndarray
+    influence_extrinsic_scale: jnp.ndarray
+    overconfidence_dt_asymmetry: jnp.ndarray
+    overconfidence_z_to_xy_ratio: jnp.ndarray
+    overconfidence_ess_to_excitation: jnp.ndarray
+    hyp_spread: jnp.ndarray
+    # map counters (zero when with_map=False)
+    map_fused_mass: jnp.ndarray
+    map_insert_mass: jnp.ndarray
+    map_evicted_mass: jnp.ndarray
+    map_n_culled: jnp.ndarray
+    map_n_merged: jnp.ndarray
+    map_valid_total: jnp.ndarray
+    ot_transport_mass: jnp.ndarray
+    ot_marginal_defect_a: jnp.ndarray
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray  # (6,) combined world pose [trans, rotvec]
+    stamp: jnp.ndarray  # ()
+    tape: ScanTape
+
+
+class HypOutputs(NamedTuple):
+    belief: Belief
+    dPsi_proc: jnp.ndarray
+    dnu_proc: jnp.ndarray
+    dPsi_meas: jnp.ndarray
+    dnu_meas: jnp.ndarray
+    cert_agg: CT.Cert
+    total_trigger_mag: jnp.ndarray
+    cond_pose6: jnp.ndarray
+    eigmin_pose6: jnp.ndarray
+    alpha: jnp.ndarray
+    beta: jnp.ndarray
+    sent_dt_asym: jnp.ndarray
+    sent_z_ratio: jnp.ndarray
+    ess_to_exc: jnp.ndarray
+    s_dt: jnp.ndarray
+    s_ex: jnp.ndarray
+    # handles for the shared (hypothesis-0) map update
+    z_t_pose: jnp.ndarray  # (6,) post-recompose world pose
+    map_extras: object  # atlas.MapExtras | None
+
+
+def _hypothesis_step(
+    belief_prev: Belief,
+    batch: ScanBatch,
+    Q: jnp.ndarray,
+    Sigma_g: jnp.ndarray,
+    Sigma_a: jnp.ndarray,
+    map_evidence_fn,
+    config: PipelineConfig,
+) -> HypOutputs:
+    """Steps 2-14 for one hypothesis (vmapped by the caller).
+
+    `map_evidence_fn(deskewed_points, deskewed_weights, point_stamps,
+    z_lin_pose, belief_pred) -> (L_lidar, h_lidar, certs_list)` supplies the
+    map branch (steps 7-8); the no-map config passes a zero-evidence fn.
+    """
+    cfg = config
+    all_certs = []
+    imu_predict = cfg.imu_mode == "predict"
+
+    # --- Step 3 (hoisted): soft IMU membership windows -------------------
+    # sigma_warp from the previous belief's dt marginal (the reference reads
+    # the predicted one, pipeline.py:436-438; under diffusion-predict the dt
+    # marginal is unchanged to within Q_dt*dt ~ 1e-7).
+    _, Sigma_prev_full, _ = to_moments(belief_prev, cfg.eps_lift)
+    dt_std = jnp.sqrt(jnp.abs(Sigma_prev_full[C.IDX_DT, C.IDX_DT]))
+    sigma_warp = jnp.maximum(dt_std, 0.01)
+    w_imu_scan = smooth_window_weights(
+        batch.imu_stamps, batch.scan_start_time, batch.scan_end_time, sigma_warp
+    )
+    w_imu_int = smooth_window_weights(
+        batch.imu_stamps, batch.t_last_scan, batch.t_scan, sigma_warp
+    )
+
+    mu_prev = mean_increment(belief_prev, cfg.eps_lift)
+    gyro_bias = mu_prev[C.IDX_BG]
+    accel_bias = mu_prev[C.IDX_BA]
+    pose0 = world_pose(belief_prev, cfg.eps_lift)
+    rotvec0 = pose0[3:6]
+    gravity_W = jnp.asarray(C.GRAVITY_W, dtype=BELIEF_DTYPE) * cfg.imu_gravity_scale
+
+    # --- Step 4 (hoisted): preintegration (parallel associative scan) x2 --
+    pre_scan = preintegrate(
+        batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_scan,
+        rotvec0, gyro_bias, accel_bias, gravity_W,
+    )
+    pre_int = preintegrate(
+        batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_int,
+        rotvec0, gyro_bias, accel_bias, gravity_W,
+    )
+    xi_body = se3.se3_log(pre_scan.delta_pose)
+    trans_scale = 0.0 if cfg.deskew_rotation_only else 1.0
+    xi_body = xi_body.at[:3].multiply(trans_scale)
+
+    dt_int = imu_integration_time(batch.imu_stamps, batch.t_last_scan, batch.t_scan)
+    dt_imu = imu_mean_sample_period(batch.imu_stamps)
+
+    # --- Step 2: prediction ------------------------------------------------
+    from gcslam_tpu.ops.predict import predict_diffusion, predict_imu
+
+    if imu_predict:
+        belief_pred, pred_cert = predict_imu(
+            belief_prev, Q, batch.dt_sec, pre_int.delta_pose, pre_int.delta_v,
+            dt_int, Sigma_g, Sigma_a, cfg.eps_psd, cfg.eps_lift,
+        )
+    else:
+        belief_pred, pred_cert = predict_diffusion(
+            belief_prev, Q, batch.dt_sec, cfg.eps_psd, cfg.eps_lift
+        )
+    all_certs.append(pred_cert)
+    _, Sigma_pred, _ = to_moments(belief_pred, cfg.eps_lift)
+    mu_inc = mean_increment(belief_pred, cfg.eps_lift)
+
+    # IMU measurement-noise suffstats (commutative; applied once per scan)
+    imu_valid = (batch.imu_stamps > 0.0).astype(BELIEF_DTYPE)
+    w_int_valid = w_imu_int * imu_valid
+    w_norm = w_int_valid / (jnp.sum(w_int_valid) + cfg.eps_mass)
+    omega_avg = jnp.einsum("m,mi->i", w_norm, batch.imu_gyro - gyro_bias[None, :])
+    dPsi_g, dnu_g = iw.gyro_meas_suffstats(
+        batch.imu_gyro, w_int_valid, gyro_bias, omega_avg, dt_imu, cfg.eps_mass
+    )
+    dPsi_a, dnu_a = iw.accel_meas_suffstats(
+        rotvec0, batch.imu_accel, w_int_valid, accel_bias, gravity_W, dt_imu, cfg.eps_mass
+    )
+    dPsi_meas = dPsi_g + dPsi_a
+    dnu_meas = dnu_g + dnu_a
+
+    # --- Step 5: deskew (constant twist) --------------------------------
+    from gcslam_tpu.ops.deskew import deskew_constant_twist
+
+    deskewed_points, deskewed_weights, deskew_cert = deskew_constant_twist(
+        batch.points, batch.point_stamps, batch.point_weights,
+        batch.scan_start_time, batch.scan_end_time, xi_body, pre_scan.ess,
+    )
+    all_certs.append(deskew_cert)
+
+    # --- Step 6: IMU + odom evidence branch -> z_lin --------------------
+    pose_pred = world_pose(belief_pred, cfg.eps_lift)
+
+    L_odom, h_odom, odom_cert = evidence_odom.odom_quadratic_evidence(
+        pose_pred, batch.odom_pose, batch.odom_cov, cfg.eps_psd, cfg.eps_lift
+    )
+    all_certs.append(odom_cert)
+
+    grav, grav_cert = evidence_imu.imu_gravity_evidence_time_resolved(
+        pose_pred[3:6], batch.imu_accel, batch.imu_gyro, w_imu_int,
+        accel_bias, gravity_W, dt_imu, cfg.eps_psd, cfg.eps_mass,
+    )
+    all_certs.append(grav_cert)
+    imu_dep_scale, dep_cert = evidence_imu.imu_dependence_inflation(
+        grav.transport_sigma, cfg.eps_mass
+    )
+    all_certs.append(dep_cert)
+
+    Sigma_prev_pos = Sigma_pred[C.IDX_TRANS, C.IDX_TRANS]
+    Sigma_prev_rot = Sigma_pred[C.IDX_ROT, C.IDX_ROT]
+    Sigma_prev_vel = Sigma_pred[C.IDX_VEL, C.IDX_VEL]
+    if imu_predict:
+        # Preintegration was consumed by predict_imu; re-adding it as
+        # evidence would double count. Zero factors keep the cert schema.
+        zero_L = jnp.zeros((C.D_Z, C.D_Z), dtype=BELIEF_DTYPE)
+        zero_h = jnp.zeros((C.D_Z,), dtype=BELIEF_DTYPE)
+        L_gyro, h_gyro = zero_L, zero_h
+        preint_fac = evidence_imu.PreintFactor(
+            L=zero_L, h=zero_h, r_vel=jnp.zeros(3, dtype=BELIEF_DTYPE),
+            r_pos=jnp.zeros(3, dtype=BELIEF_DTYPE),
+        )
+        gyro_cert = CT.make_cert(exact=True)
+    else:
+        L_gyro, h_gyro, _r_rot, gyro_cert = evidence_imu.imu_gyro_rotation_evidence(
+            rotvec0, pose_pred[3:6], pre_int.delta_pose[3:6], Sigma_g, dt_int,
+            cfg.eps_psd, cfg.eps_lift,
+        )
+        all_certs.append(gyro_cert)
+        preint_fac, preint_cert = evidence_imu.imu_preintegration_factor(
+            pose0[0:3], rotvec0, mu_prev[C.IDX_VEL], pose_pred[0:3], mu_inc[C.IDX_VEL],
+            pose_pred[3:6], pre_int.delta_v, pre_int.delta_p, Sigma_a, dt_int,
+            Sigma_prev_pos, Sigma_prev_vel, cfg.eps_psd, cfg.eps_lift,
+        )
+        all_certs.append(preint_cert)
+
+    if cfg.enable_planar_prior:
+        L_planar, h_planar, planar_cert = evidence_odom.planar_z_prior(
+            pose_pred, cfg.planar_z_ref, cfg.planar_z_sigma
+        )
+        all_certs.append(planar_cert)
+        L_vz, h_vz, vz_cert = evidence_odom.velocity_z_prior(
+            mu_inc[C.IDX_VEL][2], cfg.planar_vz_sigma
+        )
+        all_certs.append(vz_cert)
+    else:
+        L_planar = jnp.zeros((C.D_Z, C.D_Z), dtype=BELIEF_DTYPE)
+        h_planar = jnp.zeros((C.D_Z,), dtype=BELIEF_DTYPE)
+        L_vz, h_vz = L_planar, h_planar
+
+    R_world_body = se3.so3_exp(pose_pred[3:6])
+    L_vel, h_vel, vel_cert, _ = evidence_odom.odom_velocity_evidence(
+        mu_inc[C.IDX_VEL], R_world_body, batch.odom_twist[0:3],
+        batch.odom_twist_cov[0:3, 0:3], cfg.eps_psd, cfg.eps_lift,
+    )
+    all_certs.append(vel_cert)
+    sigma_wz = jnp.sqrt(jnp.maximum(batch.odom_twist_cov[5, 5], 1e-12))
+    L_wz, h_wz, wz_cert = evidence_odom.odom_yawrate_evidence(
+        omega_avg[2], batch.odom_twist[5], sigma_wz
+    )
+    all_certs.append(wz_cert)
+    kin, kin_cert = evidence_odom.pose_twist_kinematic_consistency(
+        pose0, pose_pred, batch.odom_twist[0:3], batch.odom_twist[3:6], batch.dt_sec,
+        batch.odom_twist_cov[0:3, 0:3], batch.odom_twist_cov[3:6, 3:6],
+        Sigma_prev_pos, Sigma_prev_rot, cfg.eps_psd, cfg.eps_lift,
+    )
+    all_certs.append(kin_cert)
+    odom_dep_scale, odom_dep_cert = evidence_odom.odom_dependence_inflation(
+        kin.r_trans, kin.r_rot, cfg.eps_mass
+    )
+    all_certs.append(odom_dep_cert)
+
+    twist_on = 1.0 if cfg.enable_odom_twist else 0.0
+    # Every factor above was linearized at the predicted mean mu_inc and
+    # returns h = L @ r (a Newton step). In chart coordinates the factor's
+    # information vector must be h = L @ (mu_inc + r): the reference omits
+    # the L @ mu term everywhere (e.g. odom_evidence.py:57-63,
+    # odom_twist_evidence.py:116-117), which is only consistent when the
+    # chart increment is ~0 — its recompose keeps the POSE slice near zero,
+    # but the velocity/bias slices are NOT re-zeroed, so its velocity
+    # factors actively drag the velocity state toward (v_odom - v_pred)
+    # instead of v_odom. We add the L @ mu_inc shift once on the summed
+    # branch below (all factors share the same linearization point).
+    L_imu_odom = (
+        odom_dep_scale * L_odom
+        + imu_dep_scale * (grav.L + L_gyro)
+        + preint_fac.L
+        + L_planar
+        + L_vz
+        + twist_on * odom_dep_scale * (L_vel + L_wz)
+        + twist_on * kin.L
+    )
+    h_imu_odom = (
+        odom_dep_scale * h_odom
+        + imu_dep_scale * (grav.h + h_gyro)
+        + preint_fac.h
+        + h_planar
+        + h_vz
+        + twist_on * odom_dep_scale * (h_vel + h_wz)
+        + twist_on * kin.h
+    )
+    h_imu_odom = h_imu_odom + L_imu_odom @ mu_inc
+
+    # IMU+odom-informed linearization point (pipeline.py:751-755)
+    L_fused_psd, _ = linalg.domain_projection_psd(belief_pred.L + L_imu_odom, cfg.eps_psd)
+    z_lin_22d, _ = linalg.spd_solve_lifted(L_fused_psd, belief_pred.h + h_imu_odom, cfg.eps_lift)
+    z_lin_chart = z_lin_22d[C.IDX_POSE]
+    # Map evidence linearizes around the WORLD pose at the chart increment.
+    z_lin_pose_world = se3.se3_compose(belief_pred.X_anchor, se3.se3_exp(z_lin_chart))
+
+    # --- Steps 7-8: map branch (surfels + OT + primitive pose evidence) --
+    L_lidar, h_lidar, map_certs, map_extras = map_evidence_fn(
+        deskewed_points, deskewed_weights, batch, z_lin_pose_world, belief_pred
+    )
+    # Shift to chart coordinates (h = L @ (z_lin + r); see the note above).
+    h_lidar = h_lidar + L_lidar @ z_lin_22d
+    L_lidar = cfg.map_evidence_scale * L_lidar
+    h_lidar = cfg.map_evidence_scale * h_lidar
+    all_certs.extend(map_certs)
+
+    # --- Step 9: power tempering ----------------------------------------
+    L_ev_raw = L_imu_odom + L_lidar
+    h_ev_raw = h_imu_odom + h_lidar
+    sentinels = fusion.observability_sentinels(L_ev_raw, cfg.eps_mass)
+    evidence_cert = CT.aggregate([deskew_cert, odom_cert, grav_cert, gyro_cert] + map_certs)
+    exc_total = evidence_cert.exc_dt_effect + evidence_cert.exc_ex_effect
+    beta, temper_cert = fusion.power_tempering_beta(
+        sentinels, evidence_cert.ess_total, exc_total,
+        cfg.power_beta_min, cfg.power_beta_exc_c, cfg.power_beta_z_c, cfg.eps_mass,
+    )
+    all_certs.append(temper_cert)
+    L_evidence = beta * L_ev_raw
+    h_evidence = beta * h_ev_raw
+
+    # --- Step 10: excitation prior scaling -------------------------------
+    s_dt, s_ex = fusion.excitation_scales(L_evidence, belief_pred.L)
+    L_prior_scaled, h_prior_scaled, exc_cert = fusion.apply_excitation_prior_scaling(
+        belief_pred.L, belief_pred.h, s_dt, s_ex
+    )
+    all_certs.append(exc_cert)
+    belief_pred = belief_pred._replace(L=L_prior_scaled, h=h_prior_scaled)
+
+    # --- Step 11: fusion alpha (pose-block conditioning) ------------------
+    L_pose6 = linalg.sym(L_evidence[C.IDX_POSE, C.IDX_POSE])
+    L_pose6 = jnp.nan_to_num(L_pose6, nan=0.0, posinf=0.0, neginf=0.0)
+    eig_pose = jnp.linalg.eigvalsh(L_pose6)
+    eig_pose = jnp.maximum(jnp.nan_to_num(eig_pose, nan=cfg.eps_psd), cfg.eps_psd)
+    eigmin_pose6 = eig_pose[0]
+    cond_pose6 = eig_pose[-1] / eig_pose[0]
+    ess_to_exc = evidence_cert.ess_total / (exc_total + cfg.eps_mass)
+
+    alpha, alpha_cert = fusion.fusion_alpha(
+        cond_pose6, evidence_cert.ess_total, evidence_cert.support_frac, exc_total,
+        sentinels.dt_asymmetry, sentinels.z_to_xy_ratio, beta, evidence_cert.nll_per_ess,
+        cfg.alpha_min, cfg.alpha_max, cfg.c0_cond, cfg.eps_mass,
+    )
+    all_certs.append(alpha_cert)
+
+    # --- Step 12: additive info fusion ------------------------------------
+    L_post, h_post, fusion_cert = fusion.info_fusion_additive(
+        belief_pred.L, belief_pred.h, L_evidence, h_evidence, alpha, cfg.eps_psd
+    )
+    all_certs.append(fusion_cert)
+    belief_post = belief_pred._replace(L=L_post, h=h_post)
+
+    # --- Step 13: Frobenius recompose --------------------------------------
+    total_mag = CT.total_trigger_magnitude(all_certs)
+    rec, rec_cert = recompose.pose_update_frobenius_recompose(
+        belief_post, total_mag, cfg.c_frob, cfg.eps_lift
+    )
+    all_certs.append(rec_cert)
+    belief_rec = rec.belief
+
+    # --- Step 14: process IW suffstats (commutative) ------------------------
+    dPsi_proc, dnu_proc = iw.process_iw_suffstats(
+        belief_pred.L, belief_pred.h, belief_rec.L, belief_rec.h, cfg.eps_lift
+    )
+
+    # --- Step 16: anchor drift ----------------------------------------------
+    drift, drift_cert = recompose.anchor_drift_update(
+        belief_rec, C.ANCHOR_DRIFT_M0, C.ANCHOR_DRIFT_R0, cfg.eps_lift
+    )
+    all_certs.append(drift_cert)
+
+    cert_agg = CT.aggregate(all_certs)
+    return HypOutputs(
+        belief=drift.belief,
+        dPsi_proc=dPsi_proc,
+        dnu_proc=dnu_proc,
+        dPsi_meas=dPsi_meas,
+        dnu_meas=dnu_meas,
+        cert_agg=cert_agg,
+        total_trigger_mag=CT.total_trigger_magnitude(all_certs),
+        cond_pose6=cond_pose6,
+        eigmin_pose6=eigmin_pose6,
+        alpha=alpha,
+        beta=beta,
+        sent_dt_asym=sentinels.dt_asymmetry,
+        sent_z_ratio=sentinels.z_to_xy_ratio,
+        ess_to_exc=ess_to_exc,
+        s_dt=s_dt,
+        s_ex=s_ex,
+        z_t_pose=world_pose(drift.belief, cfg.eps_lift),
+        map_extras=map_extras,
+    )
+
+
+def _zero_map_evidence(deskewed_points, deskewed_weights, batch, z_lin_pose, belief_pred):
+    """No-map config: zero LiDAR evidence (eps-regularized like the
+    reference's empty path, pipeline.py:1013-1015)."""
+    L = C.EPS_LIFT * jnp.eye(C.D_Z, dtype=BELIEF_DTYPE)
+    h = jnp.zeros((C.D_Z,), dtype=BELIEF_DTYPE)
+    return L, h, [], None
+
+
+def scan_step(
+    state: StepState, batch: ScanBatch, config: PipelineConfig
+) -> Tuple[StepState, StepOutput]:
+    """One full scan: vmapped hypotheses -> barycenter -> IW apply -> map update."""
+    cfg = config
+
+    # Shared per-scan noise (from IW states; hypothesis-independent)
+    Q = iw.process_noise_to_Q(state.process_iw, cfg.eps_psd)
+    Sigma_g = iw.measurement_noise_mode(state.meas_iw, 0, cfg.eps_psd)
+    Sigma_a = iw.measurement_noise_mode(state.meas_iw, 1, cfg.eps_psd)
+
+    atlas = state.atlas
+    if cfg.with_map:
+        from gcslam_tpu.models import atlas as atlas_mod
+        from gcslam_tpu.ops import tiling
+
+        # Active/stencil tile set around hypothesis 0's pose (the prediction
+        # preserves the mean, so previous pose == predicted pose center).
+        b0 = jax.tree_util.tree_map(lambda x: x[0], state.beliefs)
+        center = world_pose(b0, cfg.eps_lift)[:3]
+        active_ids = tiling.stencil_tile_ids(center, cfg.r_active_xy, cfg.r_active_z, cfg.h_tile)
+        atlas, active_slots = atlas_mod.allocate_tiles(atlas, active_ids, batch.scan_seq)
+        atlas, _downscale = atlas_mod.recency_inflate(atlas, active_slots, batch.scan_seq, cfg)
+        view = atlas_mod.extract_view(
+            atlas, active_slots, jnp.ones_like(active_slots, dtype=bool), cfg
+        )
+        map_fn = atlas_mod.make_map_evidence_fn(view, cfg)
+    else:
+        map_fn = _zero_map_evidence
+
+    hyp_fn = lambda b: _hypothesis_step(b, batch, Q, Sigma_g, Sigma_a, map_fn, cfg)
+    hyp_out = jax.vmap(hyp_fn)(state.beliefs)
+
+    # Hypothesis barycenter -> published belief
+    bary, bary_cert = hypothesis_barycenter(
+        hyp_out.belief, state.hyp_weights, C.HYP_WEIGHT_FLOOR, cfg.eps_psd, cfg.eps_lift
+    )
+    pose = world_pose(bary.belief, cfg.eps_lift)
+
+    # IW apply once per scan, hypothesis-weight-averaged suffstats
+    # (backend_node.py:2093-2119); process weight 0 at scan 0.
+    w = state.hyp_weights / jnp.sum(state.hyp_weights)
+    dPsi_proc = jnp.einsum("k,kbij->bij", w, hyp_out.dPsi_proc)
+    dnu_proc = jnp.einsum("k,kb->b", w, hyp_out.dnu_proc)
+    dPsi_meas = jnp.einsum("k,kbij->bij", w, hyp_out.dPsi_meas)
+    dnu_meas = jnp.einsum("k,kb->b", w, hyp_out.dnu_meas)
+    w_process = jnp.minimum(1.0, state.scan_count.astype(BELIEF_DTYPE))
+    process_iw, _ = iw.process_iw_apply(
+        state.process_iw, w_process * dPsi_proc, w_process * dnu_proc, cfg.eps_psd
+    )
+    meas_iw, _ = iw.measurement_iw_apply(state.meas_iw, dPsi_meas, dnu_meas, cfg.eps_psd)
+
+    # Map update from hypothesis 0 (backend_node.py:2080-2086)
+    if cfg.with_map:
+        extras0 = jax.tree_util.tree_map(lambda x: x[0], hyp_out.map_extras)
+        z_t0 = hyp_out.z_t_pose[0]
+        atlas_new, map_tape = atlas_mod.map_update_step(
+            atlas, view, extras0, z_t0, active_slots, active_ids,
+            batch.scan_seq, batch.scan_end_time, cfg,
+        )
+    else:
+        atlas_new = atlas
+        zero = jnp.zeros((), dtype=BELIEF_DTYPE)
+        map_tape = dict(
+            fused_mass=zero, insert_mass=zero, evicted_mass=zero,
+            n_culled=zero, n_merged=zero, valid_total=zero,
+            ot_transport_mass=zero, ot_marginal_defect_a=zero,
+        )
+
+    # Cross-hypothesis cert aggregation for the tape (weighted-mean style)
+    def wmean(x):
+        return jnp.einsum("k,k->", w, x)
+
+    agg = hyp_out.cert_agg
+    tape = ScanTape(
+        timestamp=batch.t_scan,
+        dt_sec=batch.dt_sec,
+        fusion_alpha=wmean(hyp_out.alpha),
+        power_beta=wmean(hyp_out.beta),
+        cond_pose6=wmean(hyp_out.cond_pose6),
+        eigmin_pose6=wmean(hyp_out.eigmin_pose6),
+        total_trigger_magnitude=jnp.sum(hyp_out.total_trigger_mag),
+        cert_exact=jnp.min(agg.exact),
+        cert_frobenius_applied=jnp.max(agg.frobenius_applied),
+        cert_n_triggers=jnp.sum(agg.n_triggers),
+        cert_triggers=agg.triggers[0],
+        support_ess_total=wmean(agg.ess_total),
+        support_frac=wmean(agg.support_frac),
+        mismatch_nll_per_ess=wmean(agg.nll_per_ess),
+        mismatch_directional_score=wmean(agg.directional_score),
+        excitation_dt_effect=wmean(agg.exc_dt_effect),
+        excitation_extrinsic_effect=wmean(agg.exc_ex_effect),
+        influence_psd_projection_delta=wmean(agg.psd_projection_delta),
+        influence_anchor_drift_rho=jnp.max(agg.anchor_drift_rho),
+        influence_dt_scale=wmean(1.0 - hyp_out.s_dt),
+        influence_extrinsic_scale=wmean(1.0 - hyp_out.s_ex),
+        overconfidence_dt_asymmetry=wmean(hyp_out.sent_dt_asym),
+        overconfidence_z_to_xy_ratio=wmean(hyp_out.sent_z_ratio),
+        overconfidence_ess_to_excitation=wmean(hyp_out.ess_to_exc),
+        hyp_spread=bary.spread_proxy,
+        map_fused_mass=map_tape["fused_mass"],
+        map_insert_mass=map_tape["insert_mass"],
+        map_evicted_mass=map_tape["evicted_mass"],
+        map_n_culled=map_tape["n_culled"],
+        map_n_merged=map_tape["n_merged"],
+        map_valid_total=map_tape["valid_total"],
+        ot_transport_mass=map_tape["ot_transport_mass"],
+        ot_marginal_defect_a=map_tape["ot_marginal_defect_a"],
+    )
+
+    state_new = StepState(
+        beliefs=hyp_out.belief,
+        hyp_weights=state.hyp_weights,
+        process_iw=process_iw,
+        meas_iw=meas_iw,
+        atlas=atlas_new,
+        scan_count=state.scan_count + 1,
+    )
+    return state_new, StepOutput(pose=pose, stamp=batch.t_scan, tape=tape)
+
+
+def init_state(config: PipelineConfig, stamp: float = 0.0, X_anchor=None) -> StepState:
+    """K_HYP identity-prior beliefs + datasheet IW states (+ empty atlas)."""
+    from gcslam_tpu.models.belief import identity_prior
+
+    b0 = identity_prior(stamp)
+    if X_anchor is not None:
+        b0 = b0._replace(X_anchor=jnp.asarray(X_anchor, dtype=BELIEF_DTYPE))
+    beliefs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (config.k_hyp,) + x.shape), b0
+    )
+    if config.with_map:
+        from gcslam_tpu.models import atlas as atlas_mod
+
+        atlas0 = atlas_mod.empty_atlas(config)
+    else:
+        atlas0 = None
+    return StepState(
+        beliefs=beliefs,
+        hyp_weights=jnp.ones((config.k_hyp,), dtype=BELIEF_DTYPE) / config.k_hyp,
+        process_iw=iw.datasheet_process_noise(),
+        meas_iw=iw.datasheet_measurement_noise(),
+        atlas=atlas0,
+        scan_count=jnp.zeros((), dtype=jnp.int32),
+    )

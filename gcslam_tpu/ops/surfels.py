@@ -1,0 +1,169 @@
+"""LiDAR surfel extraction — scatter-add moment accumulation + batched 3x3
+plane fits.
+
+What it computes (parity with reference operators/lidar_surfel_extraction.py:555-943):
+deskewed points -> <= N_SURFEL surfels on a fixed 32x32x8 MA-Hex-3D hash grid
+(modulo wrapping; collisions are a declared approximation); per-cell weighted
+plane fit; Gaussian covariance = in-plane spread + perpendicular residual +
+sensor noise; WISHART REGULARIZATION IN PRECISION SPACE
+Lambda_reg = Lambda + (nu/psi) I; kappa = scale / sigma_perp clipped.
+
+HOW it computes is redesigned for TPU: instead of the reference's
+sort + fixed-occupancy (32/cell) gather + per-cell loops, per-point weighted
+MOMENTS (w, w p, w p p^T, w t) scatter-add into per-cell accumulators in one
+pass (exact — no occupancy cap, strictly less approximation than the
+reference's 32-occupant truncation), then the top N_SURFEL cells by
+deterministic (valid, cell-id) order get a vectorized eigendecomposition.
+Everything is fixed-shape; the point pass runs in f32, the 3x3 eigh in f64.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.ops import linalg
+from gcslam_tpu.ops.certs import Cert, make_cert, TRIGGERS
+
+# Fixed hash grid (reference SurfelExtractionConfig defaults,
+# lidar_surfel_extraction.py:562-574)
+N_CELLS_1 = 32
+N_CELLS_2 = 32
+N_CELLS_Z = 8
+N_CELLS = N_CELLS_1 * N_CELLS_2 * N_CELLS_Z
+SQRT3_2 = 0.8660254037844386
+
+SENSOR_VAR = 1e-6
+WISHART_NU = 5.0
+WISHART_PSI = 0.1
+KAPPA_SCALE = 10.0
+KAPPA_MIN = 0.1
+KAPPA_MAX = 100.0
+EIG_MIN = 1e-12
+
+
+class SurfelSet(NamedTuple):
+    positions: jnp.ndarray  # (N_SURFEL, 3) body frame
+    Lambdas: jnp.ndarray  # (N_SURFEL, 3, 3) precision (Wishart-regularized)
+    normals: jnp.ndarray  # (N_SURFEL, 3)
+    kappas: jnp.ndarray  # (N_SURFEL,)
+    weights: jnp.ndarray  # (N_SURFEL,)
+    timestamps: jnp.ndarray  # (N_SURFEL,)
+    valid: jnp.ndarray  # (N_SURFEL,) bool
+    n_valid: jnp.ndarray  # () count
+
+
+def extract_surfels(
+    points: jnp.ndarray,  # (N, 3) deskewed, POINT_DTYPE
+    timestamps: jnp.ndarray,  # (N,)
+    weights: jnp.ndarray,  # (N,)
+    n_surfel: int = C.N_SURFEL,
+    voxel_size_m: float = 0.1,
+    min_points: int = 3,
+) -> tuple[SurfelSet, Cert]:
+    f32 = POINT_DTYPE
+    pts = points.astype(f32)
+    w = weights.astype(f32)
+    t = timestamps.astype(f32)
+
+    # Mask non-finite sentinels (|p| near the parser sentinel) and zero weight.
+    finite = jnp.all(jnp.abs(pts) < 0.1 * C.NONFINITE_SENTINEL, axis=-1)
+    w = w * finite.astype(f32)
+
+    # Center for hash stability (translation-invariant covariances).
+    w_sum_all = jnp.sum(w) + EIG_MIN
+    center = jnp.sum(pts * w[:, None], axis=0) / w_sum_all
+    p_c = pts - center[None, :]
+
+    # MA-Hex 3D cell id with modulo wrap (hash grid).
+    h = max(float(voxel_size_m), 1e-12)
+    s1 = p_c[:, 0]
+    s2 = p_c[:, 0] * 0.5 + p_c[:, 1] * SQRT3_2
+    c1 = jnp.mod(jnp.floor(s1 / h).astype(jnp.int32), N_CELLS_1)
+    c2 = jnp.mod(jnp.floor(s2 / h).astype(jnp.int32), N_CELLS_2)
+    cz = jnp.mod(jnp.floor(p_c[:, 2] / h).astype(jnp.int32), N_CELLS_Z)
+    cell = c1 * (N_CELLS_2 * N_CELLS_Z) + c2 * N_CELLS_Z + cz  # (N,)
+    # route zero-weight points to a dummy cell
+    cell = jnp.where(w > 0, cell, N_CELLS)
+
+    # One scatter-add pass for all per-cell moments:
+    # columns [m0(1), m1(3), m2(9), mt(1), count(1)] = 15 per point.
+    outer = p_c[:, :, None] * p_c[:, None, :]  # (N, 3, 3)
+    moments15 = jnp.concatenate(
+        [
+            w[:, None],
+            (w[:, None] * p_c),
+            (w[:, None, None] * outer).reshape(-1, 9),
+            (w * t)[:, None],
+            ((w > 0).astype(f32))[:, None],
+        ],
+        axis=1,
+    )
+    acc = jnp.zeros((N_CELLS + 1, 15), dtype=f32).at[cell].add(moments15)[:N_CELLS]
+    m0 = acc[:, 0]
+    m1 = acc[:, 1:4]
+    m2 = acc[:, 4:13].reshape(-1, 3, 3)
+    mt = acc[:, 13]
+    count = acc[:, 14]
+
+    # Deterministic fixed-budget cell selection: valid cells first, then by
+    # cell id (same ordering contract as the reference's key sort,
+    # lidar_surfel_extraction.py:809-816).
+    cell_ids = jnp.arange(N_CELLS, dtype=jnp.int32)
+    cell_valid = (count >= float(min_points)) & (m0 > 0)
+    key = cell_ids + (1 - cell_valid.astype(jnp.int32)) * N_CELLS
+    order = jnp.argsort(key)
+    take = order[:n_surfel]
+    slot_valid = cell_valid[take]
+    n_valid = jnp.sum(slot_valid.astype(jnp.int32))
+
+    # Gather selected-cell moments, promote to f64 for the tiny dense algebra.
+    f64 = BELIEF_DTYPE
+    m0_s = m0[take].astype(f64)
+    m1_s = m1[take].astype(f64)
+    m2_s = m2[take].astype(f64)
+    mt_s = mt[take].astype(f64)
+    inv_m0 = 1.0 / jnp.maximum(m0_s, EIG_MIN)
+
+    centroid_c = m1_s * inv_m0[:, None]  # (S, 3) centered coords
+    cov = m2_s * inv_m0[:, None, None] - centroid_c[:, :, None] * centroid_c[:, None, :]
+    cov = linalg.sym(cov) + EIG_MIN * jnp.eye(3, dtype=f64)
+
+    eigvals, eigvecs = linalg.eigh_3x3(cov)  # ascending
+    normal = eigvecs[:, :, 0]
+    normal = normal * jnp.where(normal[:, 2:3] < 0.0, -1.0, 1.0)  # deterministic sign
+    sigma_perp_sq = jnp.maximum(eigvals[:, 0], EIG_MIN)
+
+    # Surfel covariance: spread (eigenvalues floored) + isotropic sensor noise.
+    vals = jnp.maximum(eigvals, EIG_MIN) + SENSOR_VAR
+    Sigma = jnp.einsum("sik,sk,sjk->sij", eigvecs, vals, eigvecs)
+
+    # Wishart regularization in precision space (declared approximation).
+    Lambda = jnp.linalg.inv(Sigma + EIG_MIN * jnp.eye(3, dtype=f64))
+    Lambda_reg = linalg.sym(Lambda) + (WISHART_NU / WISHART_PSI) * jnp.eye(3, dtype=f64)
+
+    kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
+
+    vmask = slot_valid.astype(f64)
+    positions = (centroid_c + center.astype(f64)[None, :]) * vmask[:, None]
+    surfels = SurfelSet(
+        positions=positions,
+        Lambdas=Lambda_reg * vmask[:, None, None]
+        + (1.0 - vmask)[:, None, None] * jnp.eye(3, dtype=f64),
+        normals=normal * vmask[:, None],
+        kappas=kappa * vmask,
+        weights=m0_s * vmask,
+        timestamps=(mt_s * inv_m0) * vmask,
+        valid=slot_valid,
+        n_valid=n_valid,
+    )
+    cert = make_cert(
+        exact=False,
+        triggers=TRIGGERS["ma_hex3d_binning"]
+        | TRIGGERS["plane_fit_batched"]
+        | TRIGGERS["wishart_regularization"],
+        ess_total=n_valid.astype(f64),
+        support_frac=n_valid.astype(f64) / float(max(n_surfel, 1)),
+    )
+    return surfels, cert
