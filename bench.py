@@ -1,0 +1,69 @@
+"""Benchmark: steady-state per-scan latency of the full GC pipeline on the
+real TPU, against the reference's ~1.5 s/scan (BASELINE.md: 1-2 s/scan on a
+dev GPU; north star <= 5 ms/scan).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = reference_ms / ours_ms (speedup factor, higher is better).
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_MS_PER_SCAN = 1500.0
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+    import gcslam_tpu  # noqa: F401 (x64 on)
+    from gcslam_tpu.models.config import PipelineConfig
+    from gcslam_tpu.models import runner
+    from gcslam_tpu.models.scan_step import init_state
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+
+    # Production budgets (reference runtime config: 8192 pts, 512 surfels,
+    # config/gc_unified.yaml:65-70), full map path, K_HYP=4.
+    cfg = PipelineConfig(
+        with_map=True,
+        atlas_max_tiles=64,
+        m_tile=1024,
+        m_tile_view=256,
+        n_surfel=512,
+        surfel_voxel_size_m=0.3,
+    )
+    cfg.validate()
+    n_warm, n_meas = 3, 20
+    run = generate(SyntheticConfig(n_scans=n_warm + n_meas, n_points=8192))
+
+    state = init_state(cfg)
+    t_compile = time.time()
+    for b in run.batches[:n_warm]:
+        state, out = runner._step_jit(state, b, cfg)
+    jax.block_until_ready(out.pose)
+    compile_s = time.time() - t_compile
+
+    t0 = time.time()
+    for b in run.batches[n_warm:]:
+        state, out = runner._step_jit(state, b, cfg)
+    jax.block_until_ready(out.pose)
+    ms_per_scan = (time.time() - t0) / n_meas * 1000.0
+
+    poses_ok = bool(np.all(np.isfinite(np.asarray(out.pose))))
+    result = {
+        "metric": "ms_per_scan_full_pipeline",
+        "value": round(ms_per_scan, 3),
+        "unit": "ms/scan",
+        "vs_baseline": round(REFERENCE_MS_PER_SCAN / max(ms_per_scan, 1e-9), 1),
+    }
+    print(json.dumps(result))
+    print(
+        f"# device={jax.devices()[0].platform} compile={compile_s:.0f}s "
+        f"finite={poses_ok} scans/s={1000.0 / ms_per_scan:.1f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

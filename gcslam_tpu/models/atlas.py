@@ -217,7 +217,7 @@ def extract_view(
 
     f64 = BELIEF_DTYPE
     Lam64 = Lam.reshape(-1, 3, 3).astype(f64) + C.EPS_LIFT * jnp.eye(3, dtype=f64)
-    pos = jnp.linalg.solve(Lam64, th.reshape(-1, 3).astype(f64)[..., None])[..., 0]
+    pos = linalg.solve3x3(Lam64, th.reshape(-1, 3).astype(f64))
     eta_sum = jnp.sum(eta.reshape(-1, C.VMF_N_LOBES, 3).astype(f64), axis=1)
     kap = jnp.linalg.norm(eta_sum, axis=-1)
     dirs = eta_sum / (kap[:, None] + C.EPS_MASS)
@@ -299,7 +299,7 @@ def _transform_to_world(Lam_b, th_b, eta_b, R, t, eps_lift):
     """Gaussian info form + vMF lobes, body -> world at pose (R, t).
     (reference pipeline.py:1248-1256)."""
     Lam_w = jnp.einsum("ij,njk,lk->nil", R, Lam_b, R)
-    mu_b = jnp.linalg.solve(Lam_b + eps_lift * jnp.eye(3, dtype=Lam_b.dtype), th_b[..., None])[..., 0]
+    mu_b = linalg.solve3x3(Lam_b, th_b, eps=eps_lift)
     mu_w = mu_b @ R.T + t[None, :]
     th_w = jnp.einsum("nij,nj->ni", Lam_w, mu_w)
     eta_w = jnp.einsum("ij,nbj->nbi", R, eta_b)
@@ -481,11 +481,12 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     A = active_slots.shape[0]
     Mfull = atlas.weights.shape[1]
     f64 = BELIEF_DTYPE
+    V = min(V_MERGE, Mfull)
 
     w_all = atlas.weights[active_slots]
     v_all = atlas.valid[active_slots]
     score = jnp.where(v_all, w_all, -jnp.inf)
-    _, cand = jax.lax.top_k(score, V_MERGE)  # (A, V)
+    _, cand = jax.lax.top_k(score, V)  # (A, V)
 
     def per_tile(tslot, cand_slots):
         Lam = jnp.take(atlas.Lambdas[tslot], cand_slots, axis=0).astype(f64)
@@ -493,29 +494,26 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         w = jnp.take(atlas.weights[tslot], cand_slots).astype(f64)
         v = jnp.take(atlas.valid[tslot], cand_slots)
         Lam_r = Lam + C.EPS_LIFT * jnp.eye(3, dtype=f64)
-        mu = jnp.linalg.solve(Lam_r, th[..., None])[..., 0]
-        Sig = jnp.linalg.inv(Lam_r)
-        det = jnp.linalg.det(Sig)
+        Sig = linalg.inv3x3(Lam_r)
+        mu = jnp.einsum("vij,vj->vi", Sig, th)
+        det = linalg.det3x3(Sig)
 
         S = 0.5 * (Sig[:, None] + Sig[None, :])  # (V, V, 3, 3)
-        detS = jnp.linalg.det(S)
-        Sinv = jnp.linalg.inv(S + C.EPS_LIFT * jnp.eye(3, dtype=f64))
+        detS = linalg.det3x3(S)
+        Sinv = linalg.inv3x3(S, eps=C.EPS_LIFT)
         dmu = mu[:, None, :] - mu[None, :, :]
         quad = 0.125 * jnp.einsum("abi,abij,abj->ab", dmu, Sinv, dmu)
         logt = 0.5 * jnp.log(detS / jnp.sqrt(det[:, None] * det[None, :] + 1e-24))
         dist = quad + logt
         pair_ok = v[:, None] & v[None, :]
-        iu = jnp.triu_indices(V_MERGE, k=1)
         dist = jnp.where(pair_ok, dist, jnp.inf)
-        dist = dist.at[jnp.tril_indices(V_MERGE)].set(jnp.inf)
+        dist = dist.at[jnp.tril_indices(V)].set(jnp.inf)
         return dist, mu, Sig, w, v
 
     dists, mus, Sigs, ws, vs = jax.vmap(per_tile)(active_slots, cand)
 
     # Greedy disjoint selection: Kp iterations of masked argmin per tile.
     def select(dist):
-        V = V_MERGE
-
         def body(k, carry):
             dist_c, sel_i, sel_j, n_sel = carry
             flat = jnp.argmin(dist_c)
@@ -562,7 +560,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
             d2 = (mu2 - mu_m)[:, None]
             S_m = (w1 * (S1 + d1 @ d1.T) + w2 * (S2 + d2 @ d2.T)) / wsafe
             S_m = S_m + C.EPS_PSD * jnp.eye(3, dtype=S_m.dtype)
-            Lam_m = jnp.linalg.inv(S_m)
+            Lam_m = linalg.inv3x3(S_m)
             th_m = Lam_m @ mu_m
 
             eta_m = (w1 * a.etas[tslot, ci].astype(BELIEF_DTYPE)

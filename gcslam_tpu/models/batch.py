@@ -26,8 +26,9 @@ class MeasurementBatch(NamedTuple):
 
 
 def mean_positions(b: MeasurementBatch, eps_lift: float = C.EPS_LIFT) -> jnp.ndarray:
-    Lam = b.Lambdas + eps_lift * jnp.eye(3, dtype=b.Lambdas.dtype)
-    return jnp.linalg.solve(Lam, b.thetas[..., None])[..., 0]
+    from gcslam_tpu.ops import linalg
+
+    return linalg.solve3x3(b.Lambdas, b.thetas, eps=eps_lift)
 
 
 def mean_directions(b: MeasurementBatch, eps_mass: float = C.EPS_MASS) -> jnp.ndarray:

@@ -97,14 +97,11 @@ def primitive_pose_evidence(
     # ---- rotation: Matrix-Fisher Laplace at the scatter mode ---------------
     kw = jnp.sqrt(meas_kap[:, None] * map_kap + 1e-12) * pi  # (N, K)
     S = jnp.einsum("nk,nki,nj->ij", kw, map_dir, meas_dir)  # world x body scatter
-    U, s, Vt = jnp.linalg.svd(S)
-    det_fix = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
-    D = s * jnp.asarray([1.0, 1.0, 1.0], dtype=f).at[2].set(det_fix)
-    R_star = (U * jnp.asarray([1.0, 1.0, 1.0], dtype=f).at[2].set(det_fix)[None, :]) @ Vt
+    R_star, D, V = linalg.rotation_from_scatter(S)  # eigh-based (f64 on TPU)
     # Laplace information of tr(S^T R) at R = R_star Exp(dtheta):
-    # H = V (tr(D) I - D) V^T, V = rows of Vt.
+    # H = V (tr(D) I - D) V^T.
     H_diag = jnp.sum(D) - D
-    L_rot = Vt.T @ (H_diag[:, None] * Vt)
+    L_rot = V @ (H_diag[:, None] * V.T)
     L_rot, pc = linalg.domain_projection_psd(linalg.sym(L_rot), cfg.eps_psd)
     L_rot = L_rot + cfg.eps_lift * jnp.eye(3, dtype=f)
 

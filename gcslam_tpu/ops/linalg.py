@@ -124,3 +124,84 @@ def smooth_interval_project(x: jnp.ndarray, lo: jnp.ndarray, hi: float) -> jnp.n
     matching the reference nu-clipping (operators/inverse_wishart_jax.py:608-612)."""
     floored = lo + jax.nn.softplus(x - lo)
     return hi - jax.nn.softplus(hi - floored)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form batched 3x3 kernels (TPU: XLA's LU decomposition has no f64
+# path, and adjugate-form inverse/solve is pure fused VPU math anyway).
+# ---------------------------------------------------------------------------
+
+
+def det3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Determinant of (..., 3, 3)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def inv3x3(M: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Adjugate inverse of (..., 3, 3); optional +eps*I lift before inverting."""
+    if eps:
+        M = M + eps * jnp.eye(3, dtype=M.dtype)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cc = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * Cc
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, jnp.finfo(M.dtype).tiny)
+    adjT = jnp.stack(
+        [
+            jnp.stack([A, D, G], axis=-1),
+            jnp.stack([B, E, H], axis=-1),
+            jnp.stack([Cc, F, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adjT * inv_det[..., None, None]
+
+
+def solve3x3(M: jnp.ndarray, b: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """x = M^{-1} b for (..., 3, 3) and (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(M, eps), b)
+
+
+def rotation_from_scatter(S: jnp.ndarray):
+    """Nearest proper rotation + singular spectrum of a 3x3 scatter matrix,
+    built from eigh(S^T S) (TPU has no f64 SVD/LU; eigh is supported).
+
+    Returns (R_star, D, V):
+      R_star: (3, 3) proper rotation maximizing tr(S^T R)  (Kabsch mode)
+      D: (3,) generalized singular values diag(U^T S V) — the last one
+         carries the Kabsch sign, exactly what the Matrix-Fisher Laplace
+         H = V (tr(D) I - D) V^T needs
+      V: (3, 3) right singular vectors (det +1)
+    """
+    B = sym(jnp.swapaxes(S, -1, -2) @ S)
+    lam, V = jnp.linalg.eigh(B)  # ascending
+    # descending order
+    lam = lam[..., ::-1]
+    V = V[..., :, ::-1]
+    # det(V) = +1
+    detV = det3x3(V)
+    V = V.at[..., :, 2].multiply(jnp.where(detV < 0, -1.0, 1.0))
+    sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
+    floor = jnp.maximum(1e-9 * sigma[..., :1], jnp.finfo(S.dtype).tiny)
+    U_raw = S @ (V / jnp.maximum(sigma[..., None, :], floor))
+    # Orthonormalize (rank-deficient S -> complete the frame right-handed).
+    u1, _ = safe_normalize(U_raw[..., :, 0])
+    u2_raw = U_raw[..., :, 1] - jnp.sum(u1 * U_raw[..., :, 1], -1, keepdims=True) * u1
+    u2, _ = safe_normalize(u2_raw)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)  # det +1 by construction
+    R_star = U @ jnp.swapaxes(V, -1, -2)
+    D = jnp.diagonal(jnp.swapaxes(U, -1, -2) @ S @ V, axis1=-2, axis2=-1)
+    return R_star, D, V

@@ -140,7 +140,7 @@ def extract_surfels(
     Sigma = jnp.einsum("sik,sk,sjk->sij", eigvecs, vals, eigvecs)
 
     # Wishart regularization in precision space (declared approximation).
-    Lambda = jnp.linalg.inv(Sigma + EIG_MIN * jnp.eye(3, dtype=f64))
+    Lambda = linalg.inv3x3(Sigma, eps=EIG_MIN)
     Lambda_reg = linalg.sym(Lambda) + (WISHART_NU / WISHART_PSI) * jnp.eye(3, dtype=f64)
 
     kappa = jnp.clip(KAPPA_SCALE / jnp.sqrt(sigma_perp_sq), KAPPA_MIN, KAPPA_MAX)
