@@ -1,0 +1,125 @@
+"""THE single test path: run the pipeline on a bag (or the synthetic rig),
+score it, and emit every artifact — the Python-CLI replacement for the
+reference's tools/run_and_evaluate_gc.sh (SURVEY.md 2.9):
+
+  results/<stamp>/
+    runtime_manifest.json   (startup contract echo)
+    trajectory.tum          (/gc/trajectory)
+    ground_truth.tum
+    diagnostics.npz         (per-scan ScanTape)
+    splat_export.npz        (atlas as renderable splats)
+    metrics.json            (ATE/RPE, timing)
+    dashboard.html          (trajectory + certificate sentinels)
+
+Usage:
+  python -m gcslam_tpu.eval.run --scans 160 --out results/run1 [--bag path.db3]
+         [--no-map] [--cpu] [--drift 0.05] [--points 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--scans", type=int, default=160)
+    p.add_argument("--points", type=int, default=8192)
+    p.add_argument("--bag", default=None, help="rosbag2 .db3/.mcap path (else synthetic)")
+    p.add_argument("--no-map", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--drift", type=float, default=0.05, help="synthetic odom drift per sqrt(m)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--align", default="initial", choices=["initial", "umeyama", "none"])
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+    import gcslam_tpu  # noqa: F401
+    from gcslam_tpu.models.config import PipelineConfig
+    from gcslam_tpu.models import runner
+    from gcslam_tpu.models.manifest import write_manifest
+    from gcslam_tpu.outputs import dashboard, diagnostics, splat_export, tum
+    from gcslam_tpu.eval import ate_rpe
+
+    out_dir = args.out or time.strftime("results/gc_%Y%m%d_%H%M%S")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = PipelineConfig(
+        with_map=not args.no_map,
+        atlas_max_tiles=64,
+        m_tile=1024,
+        m_tile_view=256,
+        n_surfel=512,
+        surfel_voxel_size_m=0.3,
+    )
+    cfg.validate()
+    write_manifest(os.path.join(out_dir, "runtime_manifest.json"), cfg)
+
+    if args.bag:
+        from gcslam_tpu.frontend import rosbag
+
+        batches, gt_poses, gt_times = rosbag.load_bag(args.bag, n_points=args.points)
+    else:
+        from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+
+        run = generate(
+            SyntheticConfig(
+                n_scans=args.scans,
+                n_points=args.points,
+                odom_drift_pos_per_m=args.drift,
+                odom_drift_yaw_per_m=args.drift / 2,
+                seed=args.seed,
+            )
+        )
+        batches, gt_poses, gt_times = run.batches, run.gt_poses, run.gt_times
+
+    t0 = time.time()
+    state, out = runner.run_bag(batches, cfg)
+    poses = np.asarray(out.pose)
+    wall = time.time() - t0
+    stamps = np.asarray(out.stamp)
+
+    tum.write_tum(os.path.join(out_dir, "trajectory.tum"), stamps, poses)
+    metrics = {
+        "n_scans": int(poses.shape[0]),
+        "wall_s_including_compile": round(wall, 2),
+        "device": jax.devices()[0].platform,
+    }
+    if gt_poses is not None:
+        tum.write_tum(os.path.join(out_dir, "ground_truth.tum"), gt_times, gt_poses)
+        metrics["ate"] = ate_rpe.compute_ate(poses, gt_poses, align=args.align)
+        metrics["rpe"] = ate_rpe.compute_rpe(poses, gt_poses)
+
+    diagnostics.save_diagnostics_npz(
+        os.path.join(out_dir, "diagnostics.npz"), out.tape, poses, stamps
+    )
+    if cfg.with_map:
+        n_splats = splat_export.save_splat_export(
+            os.path.join(out_dir, "splat_export.npz"), state.atlas
+        )
+        metrics["n_splats"] = n_splats
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    dashboard.build_dashboard(
+        os.path.join(out_dir, "dashboard.html"), out.tape, poses, gt_poses, metrics
+    )
+    summary = {
+        "out_dir": out_dir,
+        "ate_trans_rmse": metrics.get("ate", {}).get("translation", {}).get("rmse"),
+        "ate_rot_rmse_deg": metrics.get("ate", {}).get("rotation_deg", {}).get("rmse"),
+    }
+    print(json.dumps(summary))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

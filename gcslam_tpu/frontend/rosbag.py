@@ -1,0 +1,282 @@
+"""Offline rosbag2 (sqlite .db3) reader -> fixed-shape ScanBatch stream.
+
+Replaces the reference's entire ROS 2 graph (launch/gc_rosbag.launch.py +
+gc_sensor_hub + backend subscriptions + ring buffers + scan clock,
+backend_node.py:939-2035) with a deterministic offline pass:
+
+  - sqlite3 + in-repo CDR codec (frontend/cdr.py) — no ROS dependency;
+  - scan clock: each LiDAR message triggers exactly one ScanBatch; faster
+    streams are sliced into fixed windows at scan boundaries;
+  - deterministic point-budget resample to N_POINTS_CAP (the reference's
+    PointBudgetResample, operators/point_budget.py:51-221: stride
+    subsample + total-mass-preserving weight rescale);
+  - extrinsic transforms into the base frame, IMU accel g->m/s^2 scaling,
+    per-topic time alignment;
+  - anchor establishment from the first odometry (smoothed over the first
+    K odoms with IMU-stability weights, backend_node.py:1467-1513), odom
+    z-variance floor.
+
+The output is a list of ScanBatch pytrees, cacheable to npz for replay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sqlite3
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu import constants as C
+from gcslam_tpu.frontend import cdr
+from gcslam_tpu.frontend.time_alignment import TopicAlignment
+from gcslam_tpu.models.scan_io import ScanBatch, range_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class BagConfig:
+    lidar_topic: Optional[str] = None  # None: first PointCloud2 topic
+    imu_topic: Optional[str] = None
+    odom_topic: Optional[str] = None
+    T_base_lidar: Tuple[float, ...] = (0.0,) * 6  # [t(3), rotvec(3)]
+    T_base_imu: Tuple[float, ...] = (0.0,) * 6
+    imu_accel_scale: float = 1.0  # 9.81 for g-reporting IMUs
+    n_points: int = C.N_POINTS_CAP
+    max_scans: Optional[int] = None
+    anchor_smoothing_k: int = 10
+    alignment: Optional[Dict[str, TopicAlignment]] = None
+
+
+def _rotvec_R(rv) -> np.ndarray:
+    rv = np.asarray(rv, dtype=np.float64)
+    th = np.linalg.norm(rv)
+    if th < 1e-12:
+        return np.eye(3)
+    k = rv / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _quat_to_rotvec(q: np.ndarray) -> np.ndarray:
+    q = np.asarray(q, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    xyz, w = q[:3], q[3]
+    n = np.linalg.norm(xyz)
+    theta = 2.0 * np.arctan2(n, w)
+    if theta > np.pi:
+        theta -= 2 * np.pi
+    return xyz * (theta / n if n > 1e-12 else 2.0)
+
+
+def read_bag_messages(db_path: str) -> Dict[str, List[Tuple[float, bytes]]]:
+    """topic -> [(bag_time_sec, raw_cdr)] sorted by time."""
+    conn = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    topics = {tid: (name, typ) for tid, name, typ in conn.execute(
+        "SELECT id, name, type FROM topics")}
+    out: Dict[str, List[Tuple[float, bytes]]] = {name: [] for name, _ in topics.values()}
+    for tid, ts, data in conn.execute(
+        "SELECT topic_id, timestamp, data FROM messages ORDER BY timestamp"
+    ):
+        name, _ = topics[tid]
+        out[name].append((ts * 1e-9, bytes(data)))
+    conn.close()
+    out["__types__"] = {name: typ for name, typ in topics.values()}  # type: ignore
+    return out
+
+
+def point_budget_resample(
+    points: np.ndarray, stamps: np.ndarray, weights: np.ndarray,
+    ring: np.ndarray, tag: np.ndarray, n_cap: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic stride subsample with total-mass preservation
+    (reference operators/point_budget.py:51-221)."""
+    n = points.shape[0]
+    stride = max(1, -(-n // n_cap))
+    idx = np.arange(0, n, stride)
+    total_in = float(weights.sum())
+    w_sel = weights[idx]
+    scale = total_in / (float(w_sel.sum()) + C.EPS_MASS)
+    k = len(idx)
+    out_p = np.zeros((n_cap, 3))
+    out_t = np.zeros(n_cap)
+    out_w = np.zeros(n_cap)
+    out_r = np.zeros(n_cap, np.int32)
+    out_g = np.zeros(n_cap, np.int32)
+    k = min(k, n_cap)
+    out_p[:k] = points[idx][:k]
+    out_t[:k] = stamps[idx][:k]
+    out_w[:k] = (w_sel * scale)[:k]
+    out_r[:k] = ring[idx][:k]
+    out_g[:k] = tag[idx][:k]
+    return out_p, out_t, out_w, out_r, out_g
+
+
+def _smoothed_anchor(odoms: List[cdr.Odometry], imus: List[cdr.Imu], k: int) -> np.ndarray:
+    """IMU-stability-weighted mean of the first k odom poses
+    (backend_node.py:1477-1513): w ∝ exp(-c_g |w|^2) exp(-c_a (|a|-g)^2);
+    translation = weighted mean; rotation = polar mean of rotations."""
+    k = min(k, len(odoms))
+    if k == 0:
+        return np.zeros(6)
+    poses = []
+    for o in odoms[:k]:
+        poses.append(np.concatenate([o.position, _quat_to_rotvec(o.orientation)]))
+    poses = np.asarray(poses)
+    # stability weights from the IMU samples nearest each odom
+    ws = np.ones(k)
+    if imus:
+        imu_t = np.asarray([m.header.stamp_sec for m in imus])
+        for i, o in enumerate(odoms[:k]):
+            j = int(np.argmin(np.abs(imu_t - o.header.stamp_sec)))
+            gy = np.linalg.norm(imus[j].angular_velocity)
+            ac = np.linalg.norm(imus[j].linear_acceleration)
+            ws[i] = np.exp(-C.INIT_ANCHOR_GYRO_SCALE * gy**2) * np.exp(
+                -C.INIT_ANCHOR_ACCEL_SCALE * (ac - C.GRAVITY_MAG) ** 2
+            )
+    ws = ws / max(ws.sum(), 1e-12)
+    t_mean = (poses[:, :3] * ws[:, None]).sum(0)
+    # polar rotation mean
+    Rs = np.stack([_rotvec_R(p[3:6]) for p in poses])
+    M = (Rs * ws[:, None, None]).sum(0)
+    U, _, Vt = np.linalg.svd(M)
+    fix = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    R_mean = U @ fix @ Vt
+    return np.concatenate([t_mean, cdrless_rotvec(R_mean)])
+
+
+def cdrless_rotvec(R: np.ndarray) -> np.ndarray:
+    tr = np.trace(R)
+    cos = np.clip(0.5 * (tr - 1), -1, 1)
+    vex = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin = np.linalg.norm(vex)
+    theta = np.arctan2(sin, cos)
+    return vex * (theta / sin if sin > 1e-9 else 1.0)
+
+
+def load_bag(
+    db_path: str,
+    n_points: int = C.N_POINTS_CAP,
+    config: BagConfig | None = None,
+) -> Tuple[List[ScanBatch], Optional[np.ndarray], Optional[np.ndarray]]:
+    """-> (batches, gt_poses=None, gt_times=None). Ground truth comes from a
+    separate TUM file in real evaluations (tools/align_ground_truth.py)."""
+    cfg = config or BagConfig(n_points=n_points)
+    raw = read_bag_messages(db_path)
+    types: Dict[str, str] = raw.pop("__types__")  # type: ignore
+
+    def find_topic(want: Optional[str], type_frag: str) -> Optional[str]:
+        if want is not None:
+            return want
+        for name, typ in types.items():
+            if type_frag in typ and raw.get(name):
+                return name
+        return None
+
+    lidar_topic = find_topic(cfg.lidar_topic, "PointCloud2")
+    imu_topic = find_topic(cfg.imu_topic, "Imu")
+    odom_topic = find_topic(cfg.odom_topic, "Odometry")
+    if lidar_topic is None:
+        raise ValueError(f"no PointCloud2 topic in bag; topics: {list(types)}")
+
+    align = cfg.alignment or {}
+
+    def aligned(topic: str, t: float) -> float:
+        a = align.get(topic)
+        return float(a.apply(np.asarray(t))) if a else t
+
+    imus = [cdr.parse_imu(b) for _, b in raw.get(imu_topic, [])] if imu_topic else []
+    odoms = [cdr.parse_odometry(b) for _, b in raw.get(odom_topic, [])] if odom_topic else []
+    imu_t = np.asarray([aligned(imu_topic, m.header.stamp_sec) for m in imus])
+    odom_t = np.asarray([aligned(odom_topic, m.header.stamp_sec) for m in odoms])
+
+    # Anchor: smoothed initial odom pose; all odom poses are reported
+    # RELATIVE to it (backend_node.py:1515-1517) so the filter's identity
+    # prior matches the first pose.
+    anchor = _smoothed_anchor(odoms, imus, cfg.anchor_smoothing_k)
+    R_a = _rotvec_R(anchor[3:6])
+
+    R_bl = _rotvec_R(cfg.T_base_lidar[3:6])
+    t_bl = np.asarray(cfg.T_base_lidar[:3])
+    R_bi = _rotvec_R(cfg.T_base_imu[3:6])
+
+    batches: List[ScanBatch] = []
+    t_last_scan = None
+    f = BELIEF_DTYPE
+    for k, (bag_t, buf) in enumerate(raw[lidar_topic]):
+        if cfg.max_scans is not None and k >= cfg.max_scans:
+            break
+        msg = cdr.parse_pointcloud2(buf)
+        t_scan = aligned(lidar_topic, msg.header.stamp_sec)
+        xyz, pt_t, ring, tag = cdr.pointcloud2_to_arrays(msg)
+        # LiDAR -> base frame
+        xyz = xyz @ R_bl.T + t_bl[None, :]
+        dist = np.linalg.norm(xyz, axis=1)
+        w = range_weights(dist)
+        p, pt, pw, pr, pg = point_budget_resample(xyz, pt_t, w, ring, tag, cfg.n_points)
+
+        scan_start = float(pt[pw > 0].min()) if np.any(pw > 0) else t_scan - 0.1
+        scan_end = float(max(pt.max(), t_scan))
+        if t_last_scan is None:
+            t_last_scan = scan_start
+
+        # IMU window (t_last_scan - margin, t_scan], zero-padded to 512
+        m = (imu_t > t_last_scan - 0.05) & (imu_t <= t_scan + 0.01)
+        sel = np.nonzero(m)[0][-C.MAX_IMU_PREINT_LEN :]
+        istk = np.zeros(C.MAX_IMU_PREINT_LEN)
+        gyro = np.zeros((C.MAX_IMU_PREINT_LEN, 3))
+        accel = np.zeros((C.MAX_IMU_PREINT_LEN, 3))
+        for j, si in enumerate(sel):
+            istk[j] = imu_t[si]
+            gyro[j] = R_bi @ imus[si].angular_velocity
+            accel[j] = R_bi @ (imus[si].linear_acceleration * cfg.imu_accel_scale)
+
+        # closest odom, anchor-relative, z-variance floor
+        if len(odoms):
+            oi = int(np.argmin(np.abs(odom_t - t_scan)))
+            o = odoms[oi]
+            R_o = _rotvec_R(_quat_to_rotvec(o.orientation))
+            R_rel = R_a.T @ R_o
+            t_rel = R_a.T @ (o.position - anchor[:3])
+            odom_pose = np.concatenate([t_rel, cdrless_rotvec(R_rel)])
+            ocov = np.asarray(o.pose_cov, dtype=np.float64).reshape(6, 6).copy()
+            ocov[2, 2] = max(ocov[2, 2], C.ODOM_Z_VARIANCE_PRIOR)
+            twist = np.concatenate([o.twist_linear, o.twist_angular])
+            tcov = np.asarray(o.twist_cov, dtype=np.float64).reshape(6, 6)
+        else:
+            odom_pose = np.zeros(6)
+            ocov = 1e12 * np.eye(6)
+            twist = np.zeros(6)
+            tcov = np.eye(6)
+
+        batches.append(
+            ScanBatch(
+                points=jnp.asarray(p, dtype=POINT_DTYPE),
+                point_stamps=jnp.asarray(pt, dtype=f),
+                point_weights=jnp.asarray(pw, dtype=POINT_DTYPE),
+                point_ring=jnp.asarray(pr),
+                point_tag=jnp.asarray(pg),
+                imu_stamps=jnp.asarray(istk, dtype=f),
+                imu_gyro=jnp.asarray(gyro, dtype=f),
+                imu_accel=jnp.asarray(accel, dtype=f),
+                odom_pose=jnp.asarray(odom_pose, dtype=f),
+                odom_cov=jnp.asarray(ocov, dtype=f),
+                odom_twist=jnp.asarray(twist, dtype=f),
+                odom_twist_cov=jnp.asarray(tcov, dtype=f),
+                cam_Lambdas=jnp.zeros((C.N_FEAT, 3, 3), dtype=f),
+                cam_thetas=jnp.zeros((C.N_FEAT, 3), dtype=f),
+                cam_etas=jnp.zeros((C.N_FEAT, C.VMF_N_LOBES, 3), dtype=f),
+                cam_weights=jnp.zeros((C.N_FEAT,), dtype=f),
+                cam_colors=jnp.zeros((C.N_FEAT, 3), dtype=f),
+                cam_valid=jnp.zeros((C.N_FEAT,), dtype=bool),
+                scan_start_time=jnp.asarray(scan_start, dtype=f),
+                scan_end_time=jnp.asarray(scan_end, dtype=f),
+                t_scan=jnp.asarray(t_scan, dtype=f),
+                t_last_scan=jnp.asarray(t_last_scan, dtype=f),
+                dt_sec=jnp.asarray(max(t_scan - t_last_scan, 1e-3), dtype=f),
+                scan_seq=jnp.asarray(k, dtype=jnp.int32),
+            )
+        )
+        t_last_scan = t_scan
+
+    return batches, None, None
