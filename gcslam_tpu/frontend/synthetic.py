@@ -45,6 +45,12 @@ class SyntheticConfig:
     odom_drift_pos_per_m: float = 0.02  # m of drift per m traveled
     odom_drift_yaw_per_m: float = 0.01  # rad of drift per m traveled
     max_range: float = 25.0
+    # RGB-D camera (config 3): raycast a small pinhole image per scan and run
+    # the visual frontend (Harris + depth fusion) to fill the camera slice.
+    with_camera: bool = False
+    cam_w: int = 160
+    cam_h: int = 120
+    cam_fx: float = 120.0
 
 
 def _yaw_R(yaw: np.ndarray) -> np.ndarray:
@@ -124,6 +130,56 @@ def _vlp16_dirs(rng: np.random.Generator, n: int, yaw0: np.ndarray) -> np.ndarra
     el = elev[ring]
     ce, se = np.cos(el), np.sin(el)
     return np.stack([ce * np.cos(az), ce * np.sin(az), se], -1)
+
+
+
+
+# Camera mounted looking along +x of the base, z-up -> standard pinhole
+# axes (z forward, x right, y down).
+R_BASE_CAM = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+
+
+def _rotvec_of(R):
+    tr = np.trace(R)
+    cos = np.clip(0.5 * (tr - 1), -1, 1)
+    vex = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin = np.linalg.norm(vex)
+    theta = np.arctan2(sin, cos)
+    return vex * (theta / sin if sin > 1e-9 else 1.0)
+
+
+def _render_rgbd(pos, yaw, cfg):
+    """Raycast a pinhole RGB-D frame of the room from the robot pose."""
+    W, H = cfg.cam_w, cfg.cam_h
+    fx = fy = cfg.cam_fx
+    cx, cy = W / 2.0, H / 2.0
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, dtype=np.float64)], -1)
+    d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+    R_wb = _yaw_R(np.asarray(yaw))
+    R_wc = R_wb @ R_BASE_CAM
+    d_world = d_cam.reshape(-1, 3) @ R_wc.T
+    origin = pos + R_wb @ np.array([0.15, 0.0, _SENSOR_Z])
+    origins = np.broadcast_to(origin, d_world.shape).copy()
+    pts, hit = _raycast_room(origins, d_world, cfg.max_range)
+    # depth = z in camera frame
+    depth = ((pts - origin) @ R_wc)[:, 2]
+    depth = np.where(hit, depth, 0.0).reshape(H, W)
+    # procedural world texture: 0.5 m checker + smooth gradients
+    tex = ((np.floor(pts[:, 0] * 2) + np.floor(pts[:, 1] * 2) + np.floor(pts[:, 2] * 2)) % 2)
+    gray = (0.3 + 0.5 * tex + 0.2 * np.sin(pts[:, 0]) * np.cos(pts[:, 1])).reshape(H, W)
+    rgb = np.stack([gray, 0.5 + 0.3 * np.cos(pts[:, 2] * 3).reshape(H, W), 1.0 - gray], -1)
+    return gray, depth, np.clip(rgb, 0, 1), R_wc, origin
+
+
+T_BASE_CAM = None  # filled lazily below (needs _rotvec_of)
+
+
+def _t_base_cam():
+    global T_BASE_CAM
+    if T_BASE_CAM is None:
+        T_BASE_CAM = np.concatenate([[0.15, 0.0, _SENSOR_Z], _rotvec_of(R_BASE_CAM)])
+    return T_BASE_CAM
 
 
 class SyntheticRun(NamedTuple):
@@ -251,6 +307,33 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         odom_twist_cov = np.diag([cfg.odom_vel_noise_std**2] * 3 + [1e-6] * 3)
 
         f = BELIEF_DTYPE
+        # --- RGB-D camera frame + visual frontend (config 3)
+        if cfg.with_camera:
+            from gcslam_tpu.frontend import camera as cam_mod
+
+            gray, depth_img, rgb_img, R_wc, cam_origin = _render_rgbd(pos, yaw, cfg)
+            intr = cam_mod.PinholeIntrinsics(
+                fx=cfg.cam_fx, fy=cfg.cam_fx, cx=cfg.cam_w / 2.0, cy=cfg.cam_h / 2.0
+            )
+            # LiDAR points (body) -> camera frame for Route A/B depth fusion
+            R_wb_now = _yaw_R(np.asarray(yaw))
+            lidar_world = p_body @ R_wb_now.T + pos[None, :]
+            lidar_cam = (lidar_world - cam_origin[None, :]) @ R_wc
+            feats = cam_mod.extract_camera_features(
+                jnp.asarray(gray), jnp.asarray(depth_img), jnp.asarray(rgb_img),
+                intr, jnp.asarray(lidar_cam), jnp.asarray(weights), n_feat=C.N_FEAT,
+            )
+            feats = cam_mod.features_to_base_frame(feats, jnp.asarray(_t_base_cam()))
+            cam_Lam, cam_th, cam_eta = feats.Lambdas, feats.thetas, feats.etas
+            cam_w_, cam_col, cam_ok = feats.weights, feats.colors, feats.valid
+        else:
+            cam_Lam = jnp.zeros((C.N_FEAT, 3, 3), dtype=f)
+            cam_th = jnp.zeros((C.N_FEAT, 3), dtype=f)
+            cam_eta = jnp.zeros((C.N_FEAT, C.VMF_N_LOBES, 3), dtype=f)
+            cam_w_ = jnp.zeros((C.N_FEAT,), dtype=f)
+            cam_col = jnp.zeros((C.N_FEAT, 3), dtype=f)
+            cam_ok = jnp.zeros((C.N_FEAT,), dtype=bool)
+
         batches.append(
             ScanBatch(
                 points=jnp.asarray(p_body, dtype=POINT_DTYPE),
@@ -265,12 +348,12 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
                 odom_cov=jnp.asarray(odom_cov, dtype=f),
                 odom_twist=jnp.asarray(odom_twist, dtype=f),
                 odom_twist_cov=jnp.asarray(odom_twist_cov, dtype=f),
-                cam_Lambdas=jnp.zeros((C.N_FEAT, 3, 3), dtype=f),
-                cam_thetas=jnp.zeros((C.N_FEAT, 3), dtype=f),
-                cam_etas=jnp.zeros((C.N_FEAT, C.VMF_N_LOBES, 3), dtype=f),
-                cam_weights=jnp.zeros((C.N_FEAT,), dtype=f),
-                cam_colors=jnp.zeros((C.N_FEAT, 3), dtype=f),
-                cam_valid=jnp.zeros((C.N_FEAT,), dtype=bool),
+                cam_Lambdas=jnp.asarray(cam_Lam, dtype=f),
+                cam_thetas=jnp.asarray(cam_th, dtype=f),
+                cam_etas=jnp.asarray(cam_eta, dtype=f),
+                cam_weights=jnp.asarray(cam_w_, dtype=f),
+                cam_colors=jnp.asarray(cam_col, dtype=f),
+                cam_valid=cam_ok,
                 scan_start_time=jnp.asarray(scan_start, dtype=f),
                 scan_end_time=jnp.asarray(scan_end, dtype=f),
                 t_scan=jnp.asarray(t_scan, dtype=f),

@@ -157,7 +157,9 @@ def inv3x3(M: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     H = -(a * f - c * d)
     I = a * e - b * d
     det = a * A + b * B + c * Cc
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, jnp.finfo(M.dtype).tiny)
+    # Floor well inside the f32 exponent range: TPU emulates f64 as a
+    # float32 pair, so sub-1e-38 constants (finfo.tiny) flush to zero there.
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
     adjT = jnp.stack(
         [
             jnp.stack([A, D, G], axis=-1),
@@ -194,7 +196,7 @@ def rotation_from_scatter(S: jnp.ndarray):
     detV = det3x3(V)
     V = V.at[..., :, 2].multiply(jnp.where(detV < 0, -1.0, 1.0))
     sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
-    floor = jnp.maximum(1e-9 * sigma[..., :1], jnp.finfo(S.dtype).tiny)
+    floor = jnp.maximum(1e-9 * sigma[..., :1], 1e-20)  # f32-exponent-safe (TPU f64 emulation)
     U_raw = S @ (V / jnp.maximum(sigma[..., None, :], floor))
     # Orthonormalize (rank-deficient S -> complete the frame right-handed).
     u1, _ = safe_normalize(U_raw[..., :, 0])
