@@ -1,0 +1,101 @@
+"""Run auditor: post-run invariant checks over the emitted artifacts — the
+wiring_auditor + audit-in-the-loop analog (reference
+frontend/audit/wiring_auditor.py:37-265 and run_and_evaluate_gc.sh:488-495,
+which re-runs the invariant pytest against the live run's outputs).
+
+Checks (each -> pass/fail + detail):
+  - manifest present, chart GC-RIGHT-01, budgets match compiled constants
+  - trajectory: finite, monotone stamps, no teleports (> 5 m/scan)
+  - diagnostics: all tape fields finite; alpha/beta in declared ranges;
+    triggers only from the registered taxonomy
+  - splat export: finite, PSD covariances, masses >= 0
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict
+
+import numpy as np
+
+from gcslam_tpu import constants as C
+from gcslam_tpu.ops.certs import TRIGGERS
+
+
+def audit_run(out_dir: str) -> Dict:
+    results = {}
+
+    def check(name, ok, detail=""):
+        results[name] = {"pass": bool(ok), "detail": detail}
+
+    # manifest
+    try:
+        with open(f"{out_dir}/runtime_manifest.json") as f:
+            man = json.load(f)
+        check("manifest_present", True)
+        check("manifest_chart", man.get("chart_id") == C.CHART_ID, man.get("chart_id"))
+        check("manifest_budget_k_hyp", man.get("config.k_hyp") == C.K_HYP)
+        check(
+            "manifest_budget_points",
+            man.get("config.n_points_cap") == C.N_POINTS_CAP,
+        )
+    except FileNotFoundError:
+        check("manifest_present", False)
+
+    # trajectory
+    try:
+        traj = np.loadtxt(f"{out_dir}/trajectory.tum").reshape(-1, 8)
+        check("traj_finite", np.all(np.isfinite(traj)))
+        check("traj_monotone_stamps", np.all(np.diff(traj[:, 0]) > 0))
+        step = np.linalg.norm(np.diff(traj[:, 1:4], axis=0), axis=1)
+        check("traj_no_teleports", np.all(step < 5.0), f"max step {step.max():.3f} m" if len(step) else "")
+    except OSError:
+        check("traj_finite", False, "trajectory.tum missing")
+
+    # diagnostics
+    try:
+        diag = np.load(f"{out_dir}/diagnostics.npz")
+        bad = [k for k in diag.files if diag[k].dtype.kind == "f" and not np.all(np.isfinite(diag[k]))]
+        check("diag_finite", not bad, f"non-finite: {bad}")
+        if "fusion_alpha" in diag:
+            a = diag["fusion_alpha"]
+            check("alpha_in_range", np.all((a >= C.ALPHA_MIN - 1e-9) & (a <= C.ALPHA_MAX + 1e-9)))
+        if "power_beta" in diag:
+            b = diag["power_beta"]
+            check("beta_in_range", np.all((b >= C.POWER_BETA_MIN - 1e-9) & (b <= 1.0 + 1e-9)))
+        if "cert_triggers" in diag:
+            all_bits = 0
+            for bit in TRIGGERS.values():
+                all_bits |= bit
+            masks = diag["cert_triggers"].astype(np.int64)
+            check("triggers_registered", np.all((masks & ~all_bits) == 0))
+    except OSError:
+        check("diag_finite", False, "diagnostics.npz missing")
+
+    # splats
+    try:
+        sp = np.load(f"{out_dir}/splat_export.npz")
+        check("splats_finite", all(np.all(np.isfinite(sp[k])) for k in ("mu_world", "Sigma_world")))
+        eig = np.linalg.eigvalsh(sp["Sigma_world"]) if sp["Sigma_world"].size else np.zeros((1, 3))
+        check("splats_psd", np.all(eig > -1e-9), f"min eig {eig.min():.2e}" if eig.size else "")
+        check("splats_mass_nonneg", np.all(sp["masses"] >= 0))
+    except OSError:
+        check("splats_finite", True, "no splat export (no-map run)")
+
+    results["all_pass"] = all(v["pass"] for k, v in results.items() if isinstance(v, dict))
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    args = p.parse_args(argv)
+    res = audit_run(args.out_dir)
+    print(json.dumps(res, indent=2))
+    raise SystemExit(0 if res["all_pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

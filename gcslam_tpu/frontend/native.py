@@ -1,0 +1,142 @@
+"""ctypes bindings for the native bag-decode library (native/gcslam_native.cpp).
+
+Auto-builds with `make -C native` on first import if g++ is available;
+callers fall back to the pure-Python CDR codec when the library is missing
+(same outputs, just slower — the contract is identical and tested as such).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgcslam_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.gcslam_parse_pointcloud2.restype = ctypes.c_int32
+    lib.gcslam_parse_pointcloud2.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, f32p, f64p, i32p, i32p, f64p, ctypes.c_double,
+    ]
+    lib.gcslam_parse_imu_batch.restype = ctypes.c_int32
+    lib.gcslam_parse_imu_batch.argtypes = [u8p, i64p, i64p, ctypes.c_int64, f64p, f64p, f64p]
+    lib.gcslam_parse_odometry_batch.restype = ctypes.c_int32
+    lib.gcslam_parse_odometry_batch.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64, f64p, f64p, f64p, f64p, f64p, f64p,
+    ]
+    lib.gcslam_point_budget_range_weights.restype = ctypes.c_int32
+    lib.gcslam_point_budget_range_weights.argtypes = [
+        f32p, f64p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        f32p, f64p, f32p, i32p, i32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def parse_pointcloud2(buf: bytes, max_points: int, sentinel: float):
+    """-> (xyz (n,3) f32, t (n,) f64, ring (n,) i32, tag (n,) i32, stamp) or None."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    b = np.frombuffer(buf, dtype=np.uint8)
+    xyz = np.zeros((max_points, 3), np.float32)
+    t = np.zeros(max_points, np.float64)
+    ring = np.zeros(max_points, np.int32)
+    tag = np.zeros(max_points, np.int32)
+    stamp = ctypes.c_double(0.0)
+    n = lib.gcslam_parse_pointcloud2(
+        _ptr(b, ctypes.c_uint8), len(buf), max_points,
+        _ptr(xyz, ctypes.c_float), _ptr(t, ctypes.c_double),
+        _ptr(ring, ctypes.c_int32), _ptr(tag, ctypes.c_int32),
+        ctypes.byref(stamp), float(sentinel),
+    )
+    if n < 0:
+        return None
+    return xyz[:n], t[:n], ring[:n], tag[:n], float(stamp.value)
+
+
+def _pack_blob(payloads):
+    lengths = np.asarray([len(p) for p in payloads], np.int64)
+    offsets = np.zeros(len(payloads), np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:]) if len(payloads) > 1 else None
+    blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    return blob, offsets, lengths
+
+
+def parse_imu_batch(payloads):
+    """-> (stamps (n,), gyro (n,3), accel (n,3)) or None."""
+    lib = _try_load()
+    if lib is None or not payloads:
+        return None
+    blob, offsets, lengths = _pack_blob(payloads)
+    n = len(payloads)
+    stamps = np.zeros(n)
+    gyro = np.zeros((n, 3))
+    accel = np.zeros((n, 3))
+    lib.gcslam_parse_imu_batch(
+        _ptr(blob, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int64), n,
+        _ptr(stamps, ctypes.c_double), _ptr(gyro, ctypes.c_double), _ptr(accel, ctypes.c_double),
+    )
+    return stamps, gyro, accel
+
+
+def parse_odometry_batch(payloads):
+    """-> (stamps, pos (n,3), quat (n,4), pose_cov (n,36), twist (n,6),
+    twist_cov (n,36)) or None."""
+    lib = _try_load()
+    if lib is None or not payloads:
+        return None
+    blob, offsets, lengths = _pack_blob(payloads)
+    n = len(payloads)
+    stamps = np.zeros(n)
+    pos = np.zeros((n, 3))
+    quat = np.zeros((n, 4))
+    pcov = np.zeros((n, 36))
+    twist = np.zeros((n, 6))
+    tcov = np.zeros((n, 36))
+    lib.gcslam_parse_odometry_batch(
+        _ptr(blob, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int64), n,
+        _ptr(stamps, ctypes.c_double), _ptr(pos, ctypes.c_double),
+        _ptr(quat, ctypes.c_double), _ptr(pcov, ctypes.c_double),
+        _ptr(twist, ctypes.c_double), _ptr(tcov, ctypes.c_double),
+    )
+    return stamps, pos, quat, pcov, twist, tcov

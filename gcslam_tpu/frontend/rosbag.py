@@ -185,8 +185,26 @@ def load_bag(
         a = align.get(topic)
         return float(a.apply(np.asarray(t))) if a else t
 
-    imus = [cdr.parse_imu(b) for _, b in raw.get(imu_topic, [])] if imu_topic else []
-    odoms = [cdr.parse_odometry(b) for _, b in raw.get(odom_topic, [])] if odom_topic else []
+    # Decode IMU/odom streams — native batch decoder when built, else Python.
+    from gcslam_tpu.frontend import native
+
+    imu_bufs = [b for _, b in raw.get(imu_topic, [])] if imu_topic else []
+    odom_bufs = [b for _, b in raw.get(odom_topic, [])] if odom_topic else []
+    nat_imu = native.parse_imu_batch(imu_bufs)
+    if nat_imu is not None:
+        st, gy, ac = nat_imu
+        imus = [cdr.Imu(cdr.Header(float(st[i]), ""), np.zeros(4), gy[i], ac[i])
+                for i in range(len(imu_bufs))]
+    else:
+        imus = [cdr.parse_imu(b) for b in imu_bufs]
+    nat_odo = native.parse_odometry_batch(odom_bufs)
+    if nat_odo is not None:
+        st, pos, quat, pcov, tw, tcov = nat_odo
+        odoms = [cdr.Odometry(cdr.Header(float(st[i]), ""), "", pos[i], quat[i],
+                              pcov[i], tw[i, :3], tw[i, 3:], tcov[i])
+                 for i in range(len(odom_bufs))]
+    else:
+        odoms = [cdr.parse_odometry(b) for b in odom_bufs]
     imu_t = np.asarray([aligned(imu_topic, m.header.stamp_sec) for m in imus])
     odom_t = np.asarray([aligned(odom_topic, m.header.stamp_sec) for m in odoms])
 
@@ -206,9 +224,15 @@ def load_bag(
     for k, (bag_t, buf) in enumerate(raw[lidar_topic]):
         if cfg.max_scans is not None and k >= cfg.max_scans:
             break
-        msg = cdr.parse_pointcloud2(buf)
-        t_scan = aligned(lidar_topic, msg.header.stamp_sec)
-        xyz, pt_t, ring, tag = cdr.pointcloud2_to_arrays(msg)
+        nat = native.parse_pointcloud2(buf, 1 << 20, C.NONFINITE_SENTINEL)
+        if nat is not None:
+            xyz32, pt_t, ring, tag, stamp = nat
+            xyz = xyz32.astype(np.float64)
+            t_scan = aligned(lidar_topic, stamp)
+        else:
+            msg = cdr.parse_pointcloud2(buf)
+            t_scan = aligned(lidar_topic, msg.header.stamp_sec)
+            xyz, pt_t, ring, tag = cdr.pointcloud2_to_arrays(msg)
         # LiDAR -> base frame
         xyz = xyz @ R_bl.T + t_bl[None, :]
         dist = np.linalg.norm(xyz, axis=1)

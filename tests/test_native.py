@@ -1,0 +1,77 @@
+"""Native C++ decode library agrees bit-for-bit with the Python CDR codec."""
+
+import numpy as np
+import pytest
+
+from gcslam_tpu.frontend import cdr, native
+from gcslam_tpu import constants as C
+
+RNG = np.random.default_rng(8)
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+def _cloud(n=200):
+    point_step = 22
+    fields = [
+        cdr.PointField("x", 0, 7, 1),
+        cdr.PointField("y", 4, 7, 1),
+        cdr.PointField("z", 8, 7, 1),
+        cdr.PointField("intensity", 12, 7, 1),
+        cdr.PointField("ring", 16, 4, 1),
+        cdr.PointField("time", 18, 7, 1),
+    ]
+    raw = np.zeros((n, point_step), dtype=np.uint8)
+    pts = RNG.normal(0, 5, (n, 3)).astype("<f4")
+    pts[3] = np.nan  # a non-finite point
+    raw[:, 0:12] = pts.view(np.uint8).reshape(n, 12)
+    raw[:, 16:18] = RNG.integers(0, 16, (n, 1)).astype("<u2").view(np.uint8).reshape(n, 2)
+    raw[:, 18:22] = np.linspace(0, 0.1, n).astype("<f4").view(np.uint8).reshape(n, 4)
+    return cdr.PointCloud2(
+        header=cdr.Header(42.25, "lidar"), height=1, width=n, fields=fields,
+        is_bigendian=False, point_step=point_step, row_step=point_step * n,
+        data=raw.tobytes(), is_dense=True,
+    )
+
+
+def test_native_pointcloud_matches_python():
+    msg = _cloud()
+    buf = cdr.serialize_pointcloud2(msg)
+    out = native.parse_pointcloud2(buf, 512, C.NONFINITE_SENTINEL)
+    assert out is not None
+    xyz_n, t_n, ring_n, tag_n, stamp = out
+    xyz_p, t_p, ring_p, tag_p = cdr.pointcloud2_to_arrays(cdr.parse_pointcloud2(buf))
+    assert abs(stamp - 42.25) < 1e-6
+    np.testing.assert_allclose(xyz_n, xyz_p.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(t_n, t_p, atol=1e-5)
+    np.testing.assert_array_equal(ring_n, ring_p)
+
+
+def test_native_imu_odometry_batch():
+    imus = []
+    for i in range(16):
+        imus.append(cdr.serialize_imu(cdr.Imu(
+            header=cdr.Header(10.0 + i * 0.005, "imu"),
+            orientation=np.array([0, 0, 0, 1.0]),
+            angular_velocity=RNG.normal(0, 1, 3),
+            linear_acceleration=RNG.normal(0, 1, 3) + [0, 0, 9.81],
+        )))
+    stamps, gyro, accel = native.parse_imu_batch(imus)
+    ref = [cdr.parse_imu(b) for b in imus]
+    np.testing.assert_allclose(stamps, [m.header.stamp_sec for m in ref], atol=1e-9)
+    np.testing.assert_allclose(gyro, np.stack([m.angular_velocity for m in ref]))
+    np.testing.assert_allclose(accel, np.stack([m.linear_acceleration for m in ref]))
+
+    odos = []
+    for i in range(5):
+        odos.append(cdr.serialize_odometry(cdr.Odometry(
+            header=cdr.Header(20.0 + i * 0.05, "odom"), child_frame_id="base",
+            position=RNG.normal(0, 1, 3), orientation=np.array([0, 0, 0, 1.0]),
+            pose_cov=RNG.normal(0, 1, 36), twist_linear=RNG.normal(0, 1, 3),
+            twist_angular=RNG.normal(0, 1, 3), twist_cov=RNG.normal(0, 1, 36),
+        )))
+    stamps, pos, quat, pcov, twist, tcov = native.parse_odometry_batch(odos)
+    ref = [cdr.parse_odometry(b) for b in odos]
+    np.testing.assert_allclose(pos, np.stack([m.position for m in ref]))
+    np.testing.assert_allclose(pcov, np.stack([m.pose_cov for m in ref]))
+    np.testing.assert_allclose(twist[:, 3:], np.stack([m.twist_angular for m in ref]))

@@ -1,0 +1,73 @@
+"""Rendering / checkpoint / audit / manifest tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+from gcslam_tpu.utils.xla import jnp
+from gcslam_tpu.models.config import PipelineConfig
+from gcslam_tpu.models import runner
+from gcslam_tpu.models.scan_step import init_state
+from gcslam_tpu.models.manifest import runtime_manifest, manifest_json
+from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+from gcslam_tpu.outputs.rendering import render_splats, RenderParams
+from gcslam_tpu.utils import checkpoint
+
+SMALL = dict(with_map=True, atlas_max_tiles=16, m_tile=128, m_tile_view=64,
+             n_surfel=128, surfel_voxel_size_m=0.5)
+
+
+def test_render_splats_basic():
+    # one red splat straight ahead
+    mu = jnp.asarray([[0.0, 0.0, 2.0]])
+    Sigma = jnp.asarray([np.eye(3) * 0.01])
+    etas = jnp.zeros((1, 3, 3))
+    colors = jnp.asarray([[1.0, 0.0, 0.0]])
+    masses = jnp.asarray([10.0])
+    cam = jnp.zeros(6)
+    rgb, depth = render_splats(mu, Sigma, etas, colors, masses, cam,
+                               RenderParams(width=64, height=48, fx=48.0, fy=48.0))
+    rgb = np.asarray(rgb)
+    assert rgb.shape == (48, 64, 3)
+    cy, cx = 24, 32
+    assert rgb[cy, cx, 0] > 0.1  # red at center
+    assert rgb[cy, cx, 0] > rgb[cy, cx, 2]
+    assert abs(float(depth[cy, cx]) - 2.0) < 0.2
+    assert rgb[0, 0].max() < 0.05  # corners empty
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = PipelineConfig(**SMALL)
+    run = generate(SyntheticConfig(n_scans=3, n_points=256))
+    state = init_state(cfg)
+    for b in run.batches:
+        state, out = runner._step_jit(state, b, cfg)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_state(path, state)
+    restored = checkpoint.load_state(path, init_state(cfg))
+    # resumed run continues identically
+    s1, o1 = runner._step_jit(state, run.batches[0], cfg)
+    s2, o2 = runner._step_jit(restored, run.batches[0], cfg)
+    np.testing.assert_array_equal(np.asarray(o1.pose), np.asarray(o2.pose))
+
+
+def test_manifest_contains_budgets():
+    cfg = PipelineConfig(**SMALL)
+    man = runtime_manifest(cfg)
+    assert man["chart_id"] == "GC-RIGHT-01"
+    assert man["config.k_hyp"] == 4
+    assert man["config.n_points_cap"] == 8192
+    assert "backends" in man
+    json.loads(manifest_json(cfg))  # valid JSON
+
+
+def test_audit_on_eval_run(tmp_path):
+    from gcslam_tpu.eval import run as eval_run
+    from gcslam_tpu.eval.audit import audit_run
+
+    out = str(tmp_path / "run")
+    eval_run.main(["--cpu", "--scans", "8", "--points", "512", "--out", out])
+    res = audit_run(out)
+    assert res["all_pass"], json.dumps(res, indent=2)
