@@ -16,6 +16,14 @@ REFERENCE_MS_PER_SCAN = 1500.0
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the full-pipeline XLA compile is ~10 min
+    # (remote AOT); cache it across bench invocations.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import numpy as np
     import gcslam_tpu  # noqa: F401 (x64 on)
     from gcslam_tpu.models.config import PipelineConfig
@@ -50,7 +58,11 @@ def main() -> None:
     jax.block_until_ready(out.pose)
     ms_per_scan = (time.time() - t0) / n_meas * 1000.0
 
-    poses_ok = bool(np.all(np.isfinite(np.asarray(out.pose))))
+    pose_last = np.asarray(out.pose)
+    poses_ok = bool(np.all(np.isfinite(pose_last)))
+    # accuracy sanity: the estimate must actually track the rig
+    gt_last = run.gt_poses[n_warm + n_meas - 1]
+    track_err = float(np.linalg.norm(pose_last[:2] - gt_last[:2]))
     result = {
         "metric": "ms_per_scan_full_pipeline",
         "value": round(ms_per_scan, 3),
@@ -60,7 +72,8 @@ def main() -> None:
     print(json.dumps(result))
     print(
         f"# device={jax.devices()[0].platform} compile={compile_s:.0f}s "
-        f"finite={poses_ok} scans/s={1000.0 / ms_per_scan:.1f}",
+        f"finite={poses_ok} scans/s={1000.0 / ms_per_scan:.1f} "
+        f"xy_err_last={track_err:.3f}m",
         file=sys.stderr,
     )
 

@@ -293,6 +293,9 @@ def load_bag(
                 cam_weights=jnp.zeros((C.N_FEAT,), dtype=f),
                 cam_colors=jnp.zeros((C.N_FEAT, 3), dtype=f),
                 cam_valid=jnp.zeros((C.N_FEAT,), dtype=bool),
+                loop_pose=jnp.zeros((6,), dtype=f),
+                loop_cov=1e12 * jnp.eye(6, dtype=f),
+                loop_weight=jnp.zeros((), dtype=f),
                 scan_start_time=jnp.asarray(scan_start, dtype=f),
                 scan_end_time=jnp.asarray(scan_end, dtype=f),
                 t_scan=jnp.asarray(t_scan, dtype=f),

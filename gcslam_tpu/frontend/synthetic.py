@@ -354,6 +354,9 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
                 cam_weights=jnp.asarray(cam_w_, dtype=f),
                 cam_colors=jnp.asarray(cam_col, dtype=f),
                 cam_valid=cam_ok,
+                loop_pose=jnp.zeros((6,), dtype=f),
+                loop_cov=1e12 * jnp.eye(6, dtype=f),
+                loop_weight=jnp.zeros((), dtype=f),
                 scan_start_time=jnp.asarray(scan_start, dtype=f),
                 scan_end_time=jnp.asarray(scan_end, dtype=f),
                 t_scan=jnp.asarray(t_scan, dtype=f),

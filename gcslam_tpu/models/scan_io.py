@@ -49,6 +49,13 @@ class ScanBatch(NamedTuple):
     cam_colors: jnp.ndarray  # (N_FEAT, 3)
     cam_valid: jnp.ndarray  # (N_FEAT,) bool
 
+    # Loop closure (LoopFactor contract, reference msg/LoopFactor.msg +
+    # spec 6.12: late anchor-relative pose evidence with budgeted
+    # recomposition — never iterative optimization). loop_weight=0 => absent.
+    loop_pose: jnp.ndarray  # (6,) world-frame pose measurement
+    loop_cov: jnp.ndarray  # (6, 6)
+    loop_weight: jnp.ndarray  # () continuous validity in [0, 1]
+
     # Scan clock
     scan_start_time: jnp.ndarray  # ()
     scan_end_time: jnp.ndarray  # ()
@@ -85,6 +92,9 @@ def empty_scan_batch(
         cam_weights=jnp.zeros((n_feat,), dtype=f),
         cam_colors=jnp.zeros((n_feat, 3), dtype=f),
         cam_valid=jnp.zeros((n_feat,), dtype=bool),
+        loop_pose=jnp.zeros((6,), dtype=f),
+        loop_cov=1e12 * jnp.eye(6, dtype=f),
+        loop_weight=jnp.zeros((), dtype=f),
         scan_start_time=jnp.zeros((), dtype=f),
         scan_end_time=jnp.zeros((), dtype=f),
         t_scan=jnp.zeros((), dtype=f),

@@ -224,6 +224,16 @@ def _hypothesis_step(
     )
     all_certs.append(odom_cert)
 
+    # Loop-closure late evidence (LoopFactor contract): same Gaussian SE(3)
+    # form, continuously weighted by loop_weight (0 when absent); the
+    # budgeted recomposition that absorbs it is the ordinary Frobenius
+    # recompose of step 13 — no iterative optimization (spec 6.12).
+    L_loop, h_loop, _loop_cert = evidence_odom.odom_quadratic_evidence(
+        pose_pred, batch.loop_pose, batch.loop_cov, cfg.eps_psd, cfg.eps_lift
+    )
+    L_loop = batch.loop_weight * L_loop
+    h_loop = batch.loop_weight * h_loop
+
     grav, grav_cert = evidence_imu.imu_gravity_evidence_time_resolved(
         pose_pred[3:6], batch.imu_accel, batch.imu_gyro, w_imu_int,
         accel_bias, gravity_W, dt_imu, cfg.eps_psd, cfg.eps_mass,
@@ -310,6 +320,7 @@ def _hypothesis_step(
     # branch below (all factors share the same linearization point).
     L_imu_odom = (
         odom_dep_scale * L_odom
+        + L_loop
         + imu_dep_scale * (grav.L + L_gyro)
         + preint_fac.L
         + L_planar
@@ -319,6 +330,7 @@ def _hypothesis_step(
     )
     h_imu_odom = (
         odom_dep_scale * h_odom
+        + h_loop
         + imu_dep_scale * (grav.h + h_gyro)
         + preint_fac.h
         + h_planar

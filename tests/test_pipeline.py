@@ -96,3 +96,29 @@ def test_fixed_shapes_across_scans(small_run):
         state, out = runner._step_jit(state, b, cfg)
         shapes_after = jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), state)
         assert shapes_before == shapes_after
+
+
+def test_loop_closure_reduces_drift():
+    """LoopFactor contract: late absolute-pose evidence pulls the estimate
+    back after heavy odom drift (budgeted recompose absorbs it; no iterative
+    optimization)."""
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+
+    run = generate(SyntheticConfig(n_scans=24, n_points=512, odom_drift_pos_per_m=0.5,
+                                   odom_drift_yaw_per_m=0.15, seed=9))
+    cfg = PipelineConfig(with_map=False)
+    batches_loop = []
+    for i, b in enumerate(run.batches):
+        if i >= 18:
+            b = b._replace(
+                loop_pose=jnp.asarray(run.gt_poses[i]),
+                loop_cov=jnp.asarray(np.diag([1e-4] * 3 + [1e-5] * 3)),
+                loop_weight=jnp.asarray(1.0),
+            )
+        batches_loop.append(b)
+    _, out_plain = runner.run_bag(run.batches, cfg)
+    _, out_loop = runner.run_bag(batches_loop, cfg)
+    e_plain = np.linalg.norm(np.asarray(out_plain.pose)[-1, :2] - run.gt_poses[-1, :2])
+    e_loop = np.linalg.norm(np.asarray(out_loop.pose)[-1, :2] - run.gt_poses[-1, :2])
+    assert e_loop < e_plain
+    assert e_loop < 0.3
