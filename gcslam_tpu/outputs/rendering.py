@@ -173,8 +173,11 @@ def render_splats(
     return jnp.clip(rgb, 0.0, 1.0), depth / cover
 
 
-def render_atlas(atlas, cam_pose, params: RenderParams = RenderParams(), max_splats: int = 4096):
-    """Render the top-mass splats of a device-resident atlas."""
+def render_atlas(atlas, cam_pose, params: RenderParams = RenderParams(), max_splats: int = 4096,
+                 use_pallas: bool | None = None):
+    """Render the top-mass splats of a device-resident atlas. On TPU the
+    Pallas tiled rasterizer (outputs/rendering_pallas.py) is used — O(image +
+    splats) HBM traffic vs this module's scan compositor."""
     T, M = atlas.weights.shape
     w = jnp.where(atlas.valid, atlas.weights, -jnp.inf).reshape(-1)
     k = min(max_splats, T * M)
@@ -185,6 +188,14 @@ def render_atlas(atlas, cam_pose, params: RenderParams = RenderParams(), max_spl
     th = atlas.thetas[ti, si].astype(jnp.float32)
     mu = jnp.einsum("pij,pj->pi", Sigma, th)
     masses = jnp.where(jnp.isfinite(w[idx]), atlas.weights.reshape(-1)[idx], 0.0)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from gcslam_tpu.outputs.rendering_pallas import render_splats_pallas
+
+        return render_splats_pallas(
+            mu, Sigma, atlas.etas[ti, si], atlas.rgb[ti, si], masses, cam_pose, params
+        )
     return render_splats(
         mu, Sigma, atlas.etas[ti, si], atlas.rgb[ti, si], masses, cam_pose, params
     )
