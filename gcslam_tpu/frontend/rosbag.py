@@ -220,6 +220,7 @@ def load_bag(
 
     batches: List[ScanBatch] = []
     t_last_scan = None
+    prev_odom_idx = None
     f = BELIEF_DTYPE
     for k, (bag_t, buf) in enumerate(raw[lidar_topic]):
         if cfg.max_scans is not None and k >= cfg.max_scans:
@@ -263,6 +264,22 @@ def load_bag(
             R_rel = R_a.T @ R_o
             t_rel = R_a.T @ (o.position - anchor[:3])
             odom_pose = np.concatenate([t_rel, cdrless_rotvec(R_rel)])
+            # consecutive-odom relative delta (body frame of the previous odom)
+            if k == 0 or prev_odom_idx is None:
+                odom_rel = np.zeros(6)
+                odom_rel_cov = 1e12 * np.eye(6)
+            else:
+                po = odoms[prev_odom_idx]
+                R_po = _rotvec_R(_quat_to_rotvec(po.orientation))
+                dR = R_po.T @ R_o
+                dp = R_po.T @ (o.position - po.position)
+                odom_rel = np.concatenate([dp, cdrless_rotvec(dR)])
+                odom_rel_cov = (
+                    np.asarray(o.pose_cov).reshape(6, 6)
+                    + np.asarray(po.pose_cov).reshape(6, 6)
+                )
+                odom_rel_cov[2, 2] = max(odom_rel_cov[2, 2], C.ODOM_Z_VARIANCE_PRIOR)
+            prev_odom_idx = oi
             ocov = np.asarray(o.pose_cov, dtype=np.float64).reshape(6, 6).copy()
             ocov[2, 2] = max(ocov[2, 2], C.ODOM_Z_VARIANCE_PRIOR)
             twist = np.concatenate([o.twist_linear, o.twist_angular])
@@ -272,6 +289,8 @@ def load_bag(
             ocov = 1e12 * np.eye(6)
             twist = np.zeros(6)
             tcov = np.eye(6)
+            odom_rel = np.zeros(6)
+            odom_rel_cov = 1e12 * np.eye(6)
 
         batches.append(
             ScanBatch(
@@ -287,6 +306,8 @@ def load_bag(
                 odom_cov=jnp.asarray(ocov, dtype=f),
                 odom_twist=jnp.asarray(twist, dtype=f),
                 odom_twist_cov=jnp.asarray(tcov, dtype=f),
+                odom_rel_pose=jnp.asarray(odom_rel, dtype=f),
+                odom_rel_cov=jnp.asarray(odom_rel_cov, dtype=f),
                 cam_Lambdas=jnp.zeros((C.N_FEAT, 3, 3), dtype=f),
                 cam_thetas=jnp.zeros((C.N_FEAT, 3), dtype=f),
                 cam_etas=jnp.zeros((C.N_FEAT, C.VMF_N_LOBES, 3), dtype=f),

@@ -247,6 +247,7 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
     t_last_scan = 0.0
     odom_drift = np.zeros(3)  # [dx, dy, dyaw] accumulated random walk
     prev_pos = np.zeros(3)
+    cum_dist = 0.0
     for k in range(cfg.n_scans):
         t_scan = (k + 1) * scan_dt  # scan header stamp = window end
         scan_start = t_scan - scan_dt
@@ -299,8 +300,39 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
             0, cfg.odom_pos_noise_std, 3
         )
         odom_yaw = yaw + odom_drift[2] + rng.normal(0, cfg.odom_yaw_noise_std)
+        odom_pose_now = np.concatenate([odom_pos, [0.0, 0.0, odom_yaw]])
+        if k == 0:
+            odom_rel = np.zeros(6)
+            odom_rel_cov = 1e12 * np.eye(6)
+            prev_odom_pose = odom_pose_now
+        else:
+            Rp = _yaw_R(np.asarray(prev_odom_pose[5]))
+            dp = Rp.T @ (odom_pose_now[:3] - prev_odom_pose[:3])
+            dyaw = odom_pose_now[5] - prev_odom_pose[5]
+            odom_rel = np.concatenate([dp, [0.0, 0.0, dyaw]])
+            # Honest delta noise: white pose noise (x2, both endpoints) plus
+            # the slip/drift random walk accrued over this step's distance.
+            drift_p_var = cfg.odom_drift_pos_per_m**2 * dist_step
+            drift_y_var = cfg.odom_drift_yaw_per_m**2 * dist_step
+            odom_rel_cov = np.diag(
+                [2 * cfg.odom_pos_noise_std**2 + drift_p_var] * 3
+                + [2 * cfg.odom_yaw_noise_std**2 + drift_y_var] * 3
+            )
+            odom_rel_cov[2, 2] = C.ODOM_Z_VARIANCE_PRIOR
+            prev_odom_pose = odom_pose_now
         odom_pose = np.concatenate([odom_pos, [0.0, 0.0, odom_yaw]])
-        odom_cov = np.diag([cfg.odom_pos_noise_std**2] * 3 + [cfg.odom_yaw_noise_std**2] * 3)
+        # Honest absolute covariance: the drift is a random walk per meter, so
+        # the pose error variance GROWS with distance traveled. A fixed
+        # covariance (the reference consumes whatever the bag claims,
+        # backend_node.py) makes the filter cling to stale odom yaw forever
+        # and caps SLAM at odom accuracy.
+        cum_dist += dist_step
+        drift_p_cum = cfg.odom_drift_pos_per_m**2 * cum_dist
+        drift_y_cum = cfg.odom_drift_yaw_per_m**2 * cum_dist
+        odom_cov = np.diag(
+            [cfg.odom_pos_noise_std**2 + drift_p_cum] * 3
+            + [cfg.odom_yaw_noise_std**2 + drift_y_cum] * 3
+        )
         odom_cov[2, 2] = C.ODOM_Z_VARIANCE_PRIOR  # z-variance floor
         v_body = _yaw_R(np.asarray(yaw)).T @ v_world + rng.normal(0, cfg.odom_vel_noise_std, 3)
         odom_twist = np.concatenate([v_body, [0.0, 0.0, wz + rng.normal(0, 1e-3)]])
@@ -348,6 +380,8 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
                 odom_cov=jnp.asarray(odom_cov, dtype=f),
                 odom_twist=jnp.asarray(odom_twist, dtype=f),
                 odom_twist_cov=jnp.asarray(odom_twist_cov, dtype=f),
+                odom_rel_pose=jnp.asarray(odom_rel, dtype=f),
+                odom_rel_cov=jnp.asarray(odom_rel_cov, dtype=f),
                 cam_Lambdas=jnp.asarray(cam_Lam, dtype=f),
                 cam_thetas=jnp.asarray(cam_th, dtype=f),
                 cam_etas=jnp.asarray(cam_eta, dtype=f),

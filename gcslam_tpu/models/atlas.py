@@ -249,6 +249,7 @@ class MapExtras(NamedTuple):
     row_masses: jnp.ndarray  # (N,)
     ot_transport_mass: jnp.ndarray
     ot_marginal_defect_a: jnp.ndarray
+    z_map_pose: jnp.ndarray  # (6,) world pose the factor is linearized at
 
 
 def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
@@ -271,12 +272,43 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             surfels.positions, surfels.Lambdas, surfels.normals, surfels.kappas,
             surfels.weights, surfels.timestamps, surfels.valid,
         )
-        assoc, assoc_cert = assoc_mod.associate_primitives_ot(
-            mbatch, atlas_view, batch_in.scan_seq, cfg
-        )
-        L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
-            assoc, mbatch, atlas_view, z_lin_pose, cfg
-        )
+        # Gauss-Newton rounds with COARSE-TO-FINE annealing: early rounds use
+        # a widened association kernel + robust scale (big capture basin —
+        # also what re-anchors revisits after drift), the FINAL round uses the
+        # configured tight values so the returned factor carries no
+        # soft-matching shrinkage bias. Iterating at a single tight scale is
+        # unstable (the re-association confirms the previous round's biased
+        # step with full authority), and a single wide round is biased — the
+        # anneal is what makes the iteration both wide-basin and unbiased.
+        # Statically unrolled (branch-free); the RETURNED factor is
+        # linearized at the final z, and scan_step shifts it into chart
+        # coordinates using that same z (returned in MapExtras).
+        import dataclasses as _dc
+
+        n_rounds = max(1, cfg.map_icp_iters)
+        z = z_lin_pose
+        for it in range(n_rounds):
+            anneal = cfg.map_icp_coarse_factor ** (n_rounds - 1 - it)
+            cfg_r = _dc.replace(
+                cfg,
+                ot_epsilon=cfg.ot_epsilon * anneal,
+                pose_cauchy_r0_m=cfg.pose_cauchy_r0_m * (anneal**0.5),
+            )
+            assoc, assoc_cert = assoc_mod.associate_primitives_ot(
+                mbatch, atlas_view, batch_in.scan_seq, cfg_r, z
+            )
+            L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
+                assoc, mbatch, atlas_view, z, cfg_r
+            )
+            if it + 1 < n_rounds:
+                L6 = L_lidar[0:6, 0:6] + cfg.eps_lift * jnp.eye(6, dtype=L_lidar.dtype)
+                delta, _ = linalg.spd_solve_lifted(L6, h_lidar[0:6], cfg.eps_lift)
+                # Trust region: the quadratic model is only valid inside this
+                # round's association kernel.
+                step_cap = 2.0 * jnp.sqrt(cfg_r.ot_epsilon)
+                nrm = jnp.linalg.norm(delta)
+                delta = delta * jnp.minimum(1.0, step_cap / (nrm + 1e-12))
+                z = se3.se3_compose(z, se3.se3_exp(delta))
         extras = MapExtras(
             batch=mbatch,
             responsibilities=assoc.responsibilities,
@@ -284,6 +316,7 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             row_masses=assoc.row_masses,
             ot_transport_mass=assoc.transport_mass,
             ot_marginal_defect_a=assoc.marginal_defect_a,
+            z_map_pose=z,
         )
         return L_lidar, h_lidar, [surf_cert, assoc_cert, vis_cert], extras
 

@@ -36,12 +36,18 @@ def identity_prior(stamp: float = 0.0) -> Belief:
     std, which drives the soft IMU window width sigma_warp = max(dt_std,
     0.01) (pipeline.py:436-438) to ~1000 s and flattens the window weights
     to 0.25 everywhere, silently under-integrating every IMU increment 4x.
-    Here each block gets a sane physical scale; pose stays uninformative.
+    Here each block gets a sane physical scale. The POSE block is pinned
+    (sigma = 1 cm / ~0.6 deg): the world frame is DEFINED as the starting
+    pose, and without the pin the global gauge is a free mode — under
+    relative-odometry or map-only anchoring the whole trajectory+map can
+    rotate consistently, which reads as unbounded ATE while being a pure
+    gauge artifact. (The reference leaves pose uninformative and relies on
+    absolute wheel odometry to fix the gauge, belief.py:328-371.)
     """
     var = jnp.concatenate(
         [
-            jnp.full(3, 1e6, dtype=BELIEF_DTYPE),  # trans (m^2): unknown
-            jnp.full(3, 1e6, dtype=BELIEF_DTYPE),  # rot (rad^2): unknown
+            jnp.full(3, 1e-4, dtype=BELIEF_DTYPE),  # trans: gauge pin 1 cm
+            jnp.full(3, 1e-4, dtype=BELIEF_DTYPE),  # rot: gauge pin 0.01 rad
             jnp.full(3, 1e2, dtype=BELIEF_DTYPE),  # vel: +-10 m/s
             jnp.full(3, 1e-2, dtype=BELIEF_DTYPE),  # gyro bias: +-0.1 rad/s
             jnp.full(3, 1e0, dtype=BELIEF_DTYPE),  # accel bias: +-1 m/s^2

@@ -58,6 +58,11 @@ class PipelineConfig:
     planar_z_sigma: float = C.PLANAR_Z_SIGMA
     planar_vz_sigma: float = C.PLANAR_VZ_SIGMA
     enable_odom_twist: bool = True
+    # 'absolute' (default, reference parity): odom pose anchors the filter
+    # to the odom frame — right when odom drift is small vs map authority.
+    # 'relative': consecutive-odom delta factor (drift-immune but
+    # unanchored; pair with loop closures / a mature map).
+    odom_pose_mode: str = "absolute"
 
     # Map / atlas budgets
     with_map: bool = True
@@ -101,6 +106,21 @@ class PipelineConfig:
     # Ablation/tuning: global scale on the map (primitive-alignment) pose
     # evidence. 0 disables it (map maintenance still runs).
     map_evidence_scale: float = 1.0
+    # Scan-to-map Gauss-Newton rounds (re-associate + re-linearize). 1 =
+    # single-shot (reference behavior); 2 removes most of the soft-OT
+    # shrinkage/linearization bias at ~2x the map-branch cost.
+    map_icp_iters: int = 2
+    # Coarse-to-fine anneal: round r uses ot_epsilon * factor^(R-1-r) (and
+    # cauchy_r0 * sqrt of same), so early rounds have a wide capture basin
+    # and the final factor is tight/unbiased.
+    map_icp_coarse_factor: float = 8.0
+    # Per-pair information floor/robustness for the pose factor.
+    pose_sigma_floor_m: float = 0.01
+    pose_cauchy_r0_m: float = 0.05
+    # Whole-scan information caps (correlated-error model): the factor never
+    # claims alignment better than these sigmas (translation / rotation).
+    pose_scan_sigma_floor_m: float = 0.02
+    pose_scan_sigma_floor_rad: float = 0.005
 
     # Camera
     with_camera: bool = False

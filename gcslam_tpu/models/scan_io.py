@@ -40,6 +40,12 @@ class ScanBatch(NamedTuple):
     odom_cov: jnp.ndarray  # (6, 6)
     odom_twist: jnp.ndarray  # (6,) [v(3), omega(3)] body frame
     odom_twist_cov: jnp.ndarray  # (6, 6)
+    # Relative odometry (odom_{k-1}^{-1} o odom_k): wheel odometry is a
+    # RELATIVE sensor; the absolute-pose factor (reference
+    # odom_evidence.py:87-154) anchors the filter to the odom frame's
+    # accumulated drift. config.odom_pose_mode selects which factor runs.
+    odom_rel_pose: jnp.ndarray  # (6,)
+    odom_rel_cov: jnp.ndarray  # (6, 6)
 
     # Camera measurement slice (zeros unless with_camera)
     cam_Lambdas: jnp.ndarray  # (N_FEAT, 3, 3)
@@ -86,6 +92,8 @@ def empty_scan_batch(
         odom_cov=1e12 * jnp.eye(6, dtype=f),
         odom_twist=jnp.zeros((6,), dtype=f),
         odom_twist_cov=jnp.eye(6, dtype=f),
+        odom_rel_pose=jnp.zeros((6,), dtype=f),
+        odom_rel_cov=1e12 * jnp.eye(6, dtype=f),
         cam_Lambdas=jnp.zeros((n_feat, 3, 3), dtype=f),
         cam_thetas=jnp.zeros((n_feat, 3), dtype=f),
         cam_etas=jnp.zeros((n_feat, C.VMF_N_LOBES, 3), dtype=f),

@@ -162,20 +162,31 @@ def _hypothesis_step(
     gravity_W = jnp.asarray(C.GRAVITY_W, dtype=BELIEF_DTYPE) * cfg.imu_gravity_scale
 
     # --- Step 4 (hoisted): preintegration (parallel associative scan) x2 --
+    # target_dt normalizes the soft-window effective time to actual IMU
+    # coverage (+ half a sample period per edge), capped at the window length
+    # (see preintegration.preintegrate); dropouts keep their true coverage.
+    dt_int = imu_integration_time(batch.imu_stamps, batch.t_last_scan, batch.t_scan)
+    dt_imu = imu_mean_sample_period(batch.imu_stamps)
+    dt_cov_scan = imu_integration_time(
+        batch.imu_stamps, batch.scan_start_time, batch.scan_end_time
+    )
+    target_scan = jnp.minimum(
+        jnp.maximum(batch.scan_end_time - batch.scan_start_time, 0.0), dt_cov_scan + dt_imu
+    )
+    target_int = jnp.minimum(
+        jnp.maximum(batch.t_scan - batch.t_last_scan, 0.0), dt_int + dt_imu
+    )
     pre_scan = preintegrate(
         batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_scan,
-        rotvec0, gyro_bias, accel_bias, gravity_W,
+        rotvec0, gyro_bias, accel_bias, gravity_W, target_scan,
     )
     pre_int = preintegrate(
         batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_int,
-        rotvec0, gyro_bias, accel_bias, gravity_W,
+        rotvec0, gyro_bias, accel_bias, gravity_W, target_int,
     )
     xi_body = se3.se3_log(pre_scan.delta_pose)
     trans_scale = 0.0 if cfg.deskew_rotation_only else 1.0
     xi_body = xi_body.at[:3].multiply(trans_scale)
-
-    dt_int = imu_integration_time(batch.imu_stamps, batch.t_last_scan, batch.t_scan)
-    dt_imu = imu_mean_sample_period(batch.imu_stamps)
 
     # --- Step 2: prediction ------------------------------------------------
     from gcslam_tpu.ops.predict import predict_diffusion, predict_imu
@@ -219,9 +230,21 @@ def _hypothesis_step(
     # --- Step 6: IMU + odom evidence branch -> z_lin --------------------
     pose_pred = world_pose(belief_pred, cfg.eps_lift)
 
-    L_odom, h_odom, odom_cert = evidence_odom.odom_quadratic_evidence(
-        pose_pred, batch.odom_pose, batch.odom_cov, cfg.eps_psd, cfg.eps_lift
-    )
+    if cfg.odom_pose_mode == "relative":
+        # Relative-odometry factor: target = pose0 o odom_rel; covariance
+        # carries the head marginal (pose0 is the filter's own uncertain
+        # previous pose) + the odom delta noise.
+        odom_target = se3.se3_compose(pose0, batch.odom_rel_pose)
+        rel_cov = batch.odom_rel_cov
+        rel_cov = rel_cov.at[0:3, 0:3].add(Sigma_pred[C.IDX_TRANS, C.IDX_TRANS])
+        rel_cov = rel_cov.at[3:6, 3:6].add(Sigma_pred[C.IDX_ROT, C.IDX_ROT])
+        L_odom, h_odom, odom_cert = evidence_odom.odom_quadratic_evidence(
+            pose_pred, odom_target, rel_cov, cfg.eps_psd, cfg.eps_lift
+        )
+    else:
+        L_odom, h_odom, odom_cert = evidence_odom.odom_quadratic_evidence(
+            pose_pred, batch.odom_pose, batch.odom_cov, cfg.eps_psd, cfg.eps_lift
+        )
     all_certs.append(odom_cert)
 
     # Loop-closure late evidence (LoopFactor contract): same Gaussian SE(3)
@@ -293,7 +316,8 @@ def _hypothesis_step(
     all_certs.append(vel_cert)
     sigma_wz = jnp.sqrt(jnp.maximum(batch.odom_twist_cov[5, 5], 1e-12))
     L_wz, h_wz, wz_cert = evidence_odom.odom_yawrate_evidence(
-        omega_avg[2], batch.odom_twist[5], sigma_wz
+        omega_avg[2], batch.odom_twist[5], sigma_wz, batch.dt_sec,
+        Sigma_prev_rot[2, 2],
     )
     all_certs.append(wz_cert)
     kin, kin_cert = evidence_odom.pose_twist_kinematic_consistency(
@@ -352,7 +376,16 @@ def _hypothesis_step(
         deskewed_points, deskewed_weights, batch, z_lin_pose_world, belief_pred
     )
     # Shift to chart coordinates (h = L @ (z_lin + r); see the note above).
-    h_lidar = h_lidar + L_lidar @ z_lin_22d
+    # The map factor is linearized at its OWN refined pose (Gauss-Newton
+    # rounds inside the map branch), so the shift uses that pose's chart
+    # vector, not z_lin_22d.
+    z_map_22d = z_lin_22d
+    if map_extras is not None:
+        z_map_chart = se3.se3_log(
+            se3.se3_relative(map_extras.z_map_pose, belief_pred.X_anchor)
+        )
+        z_map_22d = z_lin_22d.at[C.IDX_POSE].set(z_map_chart)
+    h_lidar = h_lidar + L_lidar @ z_map_22d
     L_lidar = cfg.map_evidence_scale * L_lidar
     h_lidar = cfg.map_evidence_scale * h_lidar
     all_certs.extend(map_certs)

@@ -72,15 +72,26 @@ def associate_primitives_ot(
     view,  # AtlasView
     scan_seq: jnp.ndarray,
     cfg,
+    z_lin_pose: jnp.ndarray = None,  # (6,) world pose; None if batch is world
 ) -> Tuple[AssociationResult, Cert]:
     f = BELIEF_DTYPE
     N = batch.valid.shape[0]
     K = cfg.k_assoc
 
-    meas_pos = mean_positions(batch, cfg.eps_lift)  # (N, 3)
+    meas_pos = mean_positions(batch, cfg.eps_lift)  # (N, 3) body frame
     meas_dir = mean_directions(batch, cfg.eps_mass)
     meas_kap = kappas(batch)
     valid_f = batch.valid.astype(f)
+    if z_lin_pose is not None:
+        # Measurements live in the scan-end body frame; the view pool is
+        # world-frame. Transport both position and direction through the
+        # linearization pose (reference primitive_association.py:241-258
+        # does this per-candidate inside its stencil loop).
+        from gcslam_tpu.ops import se3 as _se3
+
+        R0 = _se3.so3_exp(z_lin_pose[3:6])
+        meas_pos = meas_pos @ R0.T + z_lin_pose[:3][None, :]
+        meas_dir = meas_dir @ R0.T
 
     # --- full-pool cost tile (f32 for the big part) ----------------------
     p32 = POINT_DTYPE

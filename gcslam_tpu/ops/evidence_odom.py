@@ -92,9 +92,23 @@ def odom_yawrate_evidence(
     omega_z_pred: jnp.ndarray,
     omega_z_odom: jnp.ndarray,
     sigma_wz: jnp.ndarray,
+    dt: jnp.ndarray,
+    var_prev_yaw: jnp.ndarray = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Cert]:
-    r_wz = omega_z_odom - omega_z_pred
-    precision = 1.0 / (sigma_wz * sigma_wz)
+    """Yaw-rate factor as a yaw-INCREMENT constraint over the scan interval:
+    r = (w_odom - w_pred) dt with covariance sigma_wz^2 dt^2.
+
+    The reference injects the raw rad/s residual into the rotation slot with
+    the rate precision (odom_twist_evidence.py:191-213) — dimensionally a
+    rad/s quantity read as rad, which integrates the gyro-vs-wheel rate
+    mismatch (gyro bias included) straight into yaw at ~1e6 weight.
+    """
+    r_wz = (omega_z_odom - omega_z_pred) * dt
+    # head-marginal inflation: this is a relative (increment) constraint on
+    # an uncertain head; without the prior yaw marginal it out-votes every
+    # absolute yaw correction ~1e4:1 and the filter integrates rate forever.
+    var = sigma_wz * sigma_wz * dt * dt + var_prev_yaw + C.EPS_MASS
+    precision = 1.0 / var
     yaw_idx = C.IDX_ROT.start + 2
     L = jnp.zeros((C.D_Z, C.D_Z), dtype=BELIEF_DTYPE).at[yaw_idx, yaw_idx].set(precision)
     h = jnp.zeros((C.D_Z,), dtype=BELIEF_DTYPE).at[yaw_idx].set(precision * r_wz)

@@ -9,11 +9,16 @@ Parity map (reference operators/visual_pose_evidence.py:662-1024):
 
 Deviations (correctness; certified as 'linearization' triggers):
   - the information/vector pair is expressed in the CHART tangent frame
-    (right perturbation X = X0 Exp(dxi)): for translation the residual is
-    rotated into the body/anchor frame, where the transported precision
-    R^T (R Lambda_b R^T) R = Lambda_b — so L_t keeps the reference's exact
-    form while h_t gains the missing R^T and -t0 terms
+    (right perturbation X = X0 Exp(dxi)): the residual is rotated into the
+    body/anchor frame, where the transported precision
+    R^T (R Lambda_b R^T) R = Lambda_b — so the translation block keeps the
+    reference's exact form while h gains the missing R^T and -t0 terms
     (the reference's h omits both, visual_pose_evidence.py:717-722);
+  - the alignment factor is the FULL 6x6 pose Laplace with the
+    translation-rotation lever-arm coupling A_i = [-I | [p_i]x] instead of
+    the reference's decoupled translation-WLS; the [p]x columns carry the
+    rotation information (~ lambda * lever^2) that lets the map correct
+    heading against drifting absolute odometry;
   - rotation information uses the exact Matrix-Fisher Laplace
     H = V (tr(D) I - D) V^T at the SVD mode instead of diag(singular values)
     in the wrong basis, and the residual is the right-perturbation
@@ -56,11 +61,32 @@ def primitive_pose_evidence(
         # splats (sources==0) keep their full 3D precision.
         n_hat = meas_dir  # surfel normal = vMF mean direction
         lam_n = jnp.einsum("ni,nij,nj->n", n_hat, Lam_b, n_hat)
+        # Information cap (1 cm measurement floor): surfel scatter along the
+        # normal of a clean plane can reach sigma ~1 mm, so a SINGLE
+        # mis-associated pair would carry ~1e6 * lever^2 of rotation
+        # precision and yank the pose. No physical LiDAR+calibration chain
+        # is better than ~1 cm, so clamp.
+        lam_cap = 1.0 / (cfg.pose_sigma_floor_m**2)
+        lam_n = jnp.minimum(lam_n, lam_cap)
         Lam_plane = lam_n[:, None, None] * n_hat[:, :, None] * n_hat[:, None, :]
         is_surfel = (batch.sources == 1)[:, None, None]
         Lam_b = jnp.where(is_surfel, Lam_plane + cfg.eps_lift * jnp.eye(3, dtype=f), Lam_b)
+    # Camera/full-precision rows get the same cap via trace scaling.
+    tr = jnp.trace(Lam_b, axis1=1, axis2=2)
+    cap3 = 3.0 / (cfg.pose_sigma_floor_m**2)
+    Lam_b = Lam_b * jnp.minimum(1.0, cap3 / (tr + cfg.eps_mass))[:, None, None]
 
     pi = assoc.responsibilities * (batch.valid[:, None] & view.valid[assoc.cand_pool]).astype(f)
+    # Point-support scaling: OT responsibilities are transport PROBABILITIES
+    # on uniform marginals a_i = 1/N_valid (total mass ~1), so summing
+    # pi * Lambda treats an entire scan as ONE pseudo-measurement — the map
+    # can never out-vote a single odometry factor (the reference inherits the
+    # same weakness, visual_pose_evidence.py:712-714). Rescale each pair to
+    # pi/a_i * w_i: pi/a_i in [0,1] is the row's matched fraction x
+    # within-row responsibility, and w_i is the surfel's point support, which
+    # recovers point-count-consistent ICP Laplace information.
+    n_valid = jnp.sum(batch.valid.astype(f))
+    pi = pi * n_valid * batch.weights[:, None]
     map_pos = view.positions[assoc.cand_pool]  # (N, K, 3) world
     map_dir = view.directions[assoc.cand_pool]
     map_kap = view.kappas[assoc.cand_pool]
@@ -68,10 +94,18 @@ def primitive_pose_evidence(
     # Continuous Cauchy robustification of pair residuals (no gates): soft
     # OT leaves a few % of mass on wrong candidates whose meter-scale
     # residuals would otherwise pollute the WLS target. w = 1/(1+|r|^2/r0^2).
-    r0_sq = (0.3) ** 2
+    r0_sq = cfg.pose_cauchy_r0_m**2
     meas_world_pre = meas_pos @ R0.T + t0[None, :]
     pair_r = map_pos - meas_world_pre[:, None, :]
     w_robust = 1.0 / (1.0 + jnp.sum(pair_r * pair_r, axis=-1) / r0_sq)
+    # Normal-consistency weight (sign-invariant: surfel normals carry an
+    # arbitrary eigenvector sign): a pair matching two DIFFERENT planes has
+    # disagreeing normals; (n.n')^2 suppresses it before its (capped but
+    # still large) point-to-plane precision enters the pose factor.
+    meas_dir_w = meas_dir @ R0.T
+    n_dot = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
+    w_normal = jnp.where(meas_kap[:, None] > 0, n_dot * n_dot, 1.0)
+    w_robust = w_robust * w_normal
     # Map-maturity weighting (continuous): a freshly-seeded primitive (mass
     # ~novelty*w ~ 1e-2) carries almost no alignment authority; a repeatedly
     # fused one (mass >> 1) carries full weight. Prevents the sparse early
@@ -79,20 +113,40 @@ def primitive_pose_evidence(
     w_mature = view.weights[assoc.cand_pool] / (view.weights[assoc.cand_pool] + 1.0)
     pi = pi * w_robust * w_mature
 
-    # ---- translation WLS in the chart tangent -----------------------------
-    # r_tangent_ik = R0^T (m_k - R0 p_i - t0); dr/d(rho) = -I =>
-    # L = sum pi Lambda_b (exact: R0^T Lambda_w R0 = Lambda_b),
-    # h = sum_i Lambda_b,i @ (sum_k pi_ik r_ik).
+    # ---- full 6x6 pose Laplace in the chart tangent ------------------------
+    # r_tan(drho, dtheta) = R0^T (m_k - R0 Exp(dtheta)(p_i) - t0 - R0 V drho)
+    #                     ~ r0 + A_i [drho; dtheta],  A_i = [-I | [p_i]x].
+    # L6 = sum pi A^T Lam_b A,  h6_rel = -sum pi A^T Lam_b r0.
+    # The [p]x lever-arm columns are what give scan-to-map alignment its
+    # ROTATION authority (point-to-plane yaw information ~ lam * lever^2);
+    # the reference's split translation-WLS + normal-scatter
+    # (visual_pose_evidence.py:662-842) drops this coupling entirely, leaving
+    # its map unable to correct heading against drifting odometry.
     pi_sum_k = jnp.sum(pi, axis=1)  # (N,)
-    L_trans = jnp.einsum("n,nij->ij", pi_sum_k, Lam_b)
     meas_world = meas_pos @ R0.T  # R0 p_i, (N, 3)
     r_world = map_pos - meas_world[:, None, :] - t0[None, None, :]  # (N, K, 3)
     r_tan = jnp.einsum("ji,nkj->nki", R0, r_world)  # R0^T r
-    r_weighted = jnp.einsum("nk,nki->ni", pi, r_tan)
-    h_trans = jnp.einsum("nij,nj->i", Lam_b, r_weighted)
+
+    Px = se3.skew(meas_pos)  # (N, 3, 3) = [p_i]x
+    # A^T Lam A blocks (A depends on i only):
+    #   [ Lam        , -Lam Px ]
+    #   [ -(Lam Px)^T, Px^T Lam Px ] with signs from A = [-I | Px]:
+    LamPx = jnp.einsum("nij,njk->nik", Lam_b, Px)  # (N, 3, 3)
+    PxLamPx = jnp.einsum("nji,njk->nik", Px, LamPx)  # Px^T Lam Px
+    L6 = jnp.zeros((6, 6), dtype=f)
+    L6 = L6.at[0:3, 0:3].set(jnp.einsum("n,nij->ij", pi_sum_k, Lam_b))
+    L6 = L6.at[0:3, 3:6].set(-jnp.einsum("n,nij->ij", pi_sum_k, LamPx))
+    L6 = L6.at[3:6, 0:3].set(L6[0:3, 3:6].T)
+    L6 = L6.at[3:6, 3:6].set(jnp.einsum("n,nij->ij", pi_sum_k, PxLamPx))
+
+    r_weighted = jnp.einsum("nk,nki->ni", pi, r_tan)  # (N, 3)
+    Lr = jnp.einsum("nij,nj->ni", Lam_b, r_weighted)  # Lam r0 summed over k
+    h6 = jnp.zeros((6,), dtype=f)
+    h6 = h6.at[0:3].set(jnp.sum(Lr, axis=0))  # -(-I)^T Lam r0
+    h6 = h6.at[3:6].set(-jnp.einsum("nji,nj->i", Px, Lr))  # -Px^T Lam r0
     trans_cost = jnp.einsum("nki,nij,nkj->", r_tan * pi[..., None], Lam_b, r_tan)
 
-    L_trans = L_trans + cfg.eps_lift * jnp.eye(3, dtype=f)
+    L6 = linalg.sym(L6) + cfg.eps_lift * jnp.eye(6, dtype=f)
 
     # ---- rotation: Matrix-Fisher Laplace at the scatter mode ---------------
     kw = jnp.sqrt(meas_kap[:, None] * map_kap + 1e-12) * pi  # (N, K)
@@ -112,10 +166,41 @@ def primitive_pose_evidence(
     rot_cost = jnp.sum(kw * (1.0 - jnp.einsum("ni,nki->nk", meas_dir @ R0.T, map_dir)))
 
     # ---- embed into 22D -----------------------------------------------------
+    # Full coupled 6x6 alignment Laplace into the pose block, PLUS the
+    # normal-alignment (scatter) rotation term — they are complementary:
+    # lever arms constrain rotation about axes with range diversity, normal
+    # agreement constrains it even for a single distant wall.
+    # Fold the scatter rotation term into the 6x6 before flooring.
+    L6 = L6.at[3:6, 3:6].add(L_rot)
+    h6 = h6.at[3:6].add(h_rot)
+
+    # Correlated-error information floor: summing per-pair information
+    # treats pair residuals as independent, but the dominant per-scan
+    # alignment errors (voxel-binning aliasing, range-density centroid
+    # pull, deskew residue) are CORRELATED across the whole scan — the
+    # aggregate claim of sigma ~0.5 mm is ~40x optimistic and lets the map
+    # out-vote even perfect odometry, turning the map's own per-scan noise
+    # into an unopposed random walk. Floor translation and rotation
+    # SEPARATELY (heading deserves its own honest scale) via a congruence
+    # scaling S L S (PSD-preserving); the factor's MAP target delta* is
+    # held fixed so h is re-derived exactly, not approximately scaled.
+    delta_star, _ = linalg.spd_solve_lifted(
+        linalg.sym(L6) + cfg.eps_lift * jnp.eye(6, dtype=f), h6, cfg.eps_lift
+    )
+    eig_t = jnp.linalg.eigvalsh(linalg.sym(L6[0:3, 0:3]))
+    eig_r = jnp.linalg.eigvalsh(linalg.sym(L6[3:6, 3:6]))
+    cap_t = 1.0 / (cfg.pose_scan_sigma_floor_m**2)
+    cap_r = 1.0 / (cfg.pose_scan_sigma_floor_rad**2)
+    s_t = jnp.minimum(1.0, cap_t / jnp.maximum(eig_t[-1], cfg.eps_lift))
+    s_r = jnp.minimum(1.0, cap_r / jnp.maximum(eig_r[-1], cfg.eps_lift))
+    s_diag = jnp.concatenate([jnp.full(3, jnp.sqrt(s_t)), jnp.full(3, jnp.sqrt(s_r))])
+    L6 = linalg.sym(s_diag[:, None] * L6 * s_diag[None, :])
+    h6 = L6 @ delta_star
+
     L = cfg.eps_lift * jnp.eye(C.D_Z, dtype=f)
     h = jnp.zeros((C.D_Z,), dtype=f)
-    L = L.at[C.IDX_TRANS, C.IDX_TRANS].set(L_trans).at[C.IDX_ROT, C.IDX_ROT].set(L_rot)
-    h = h.at[C.IDX_TRANS].set(h_trans).at[C.IDX_ROT].set(h_rot)
+    L = L.at[C.IDX_POSE, C.IDX_POSE].add(L6)
+    h = h.at[C.IDX_POSE].set(h6)
 
     ess = jnp.sum(assoc.row_masses)
     cert = make_cert(

@@ -50,6 +50,7 @@ def preintegrate(
     gyro_bias: jnp.ndarray,  # (3,)
     accel_bias: jnp.ndarray,  # (3,)
     gravity_W: jnp.ndarray,  # (3,)
+    target_dt: jnp.ndarray = None,  # () total integration time to normalize to
 ) -> PreintResult:
     dtype = imu_gyro.dtype
     stamps = imu_stamps
@@ -57,6 +58,18 @@ def preintegrate(
     dt = jnp.concatenate([stamps[1:] - stamps[:-1], jnp.zeros((1,), dtype=dtype)])
     dt = jnp.maximum(dt, 0.0)
     dt_eff = weights * dt  # (M,)
+    if target_dt is not None:
+        # Soft-window time normalization: the membership weights taper at the
+        # window edges and the last sample's forward-diff interval is zero,
+        # so sum(w * dt) systematically under-covers the window by ~2 sigma_warp
+        # + one sample period. Left uncorrected, every preintegrated increment
+        # (rotation AND velocity) is scaled by that deficit (~0.85 at 100 Hz /
+        # 10 ms sigma), which integrates into proportional trajectory error
+        # (est_yaw = 0.85 * gt_yaw). Renormalize total effective time to the
+        # known coverage; relative soft weighting is preserved. The clip keeps
+        # dropout windows (true coverage < target) from fabricating motion.
+        scale = target_dt.astype(dtype) / jnp.maximum(jnp.sum(dt_eff), 1e-9)
+        dt_eff = dt_eff * jnp.clip(scale, 0.0, 1.5)
 
     omega = (imu_gyro - gyro_bias[None, :]) * dt_eff[:, None]  # (M, 3)
     dR = se3.so3_exp(omega)  # (M, 3, 3)
