@@ -10,10 +10,12 @@ reference's tools/run_and_evaluate_gc.sh (SURVEY.md 2.9):
     splat_export.npz        (atlas as renderable splats)
     metrics.json            (ATE/RPE, timing)
     dashboard.html          (trajectory + certificate sentinels)
+    map_events.jsonl        (per-scan map maintenance event log, spec 5.7.7)
 
 Usage:
   python -m gcslam_tpu.eval.run --scans 160 --out results/run1 [--bag path.db3]
          [--no-map] [--cpu] [--drift 0.05] [--points 8192]
+         [--mode absolute|relative]
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ def main(argv=None) -> dict:
     p.add_argument("--drift", type=float, default=0.05, help="synthetic odom drift per sqrt(m)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--align", default="initial", choices=["initial", "umeyama", "none"])
+    p.add_argument("--mode", default="absolute", choices=["absolute", "relative"],
+                   help="odometry pose factor mode")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -60,6 +64,7 @@ def main(argv=None) -> dict:
         m_tile_view=256,
         n_surfel=512,
         surfel_voxel_size_m=0.3,
+        odom_pose_mode=args.mode,
     )
     cfg.validate()
     write_manifest(os.path.join(out_dir, "runtime_manifest.json"), cfg)
@@ -102,6 +107,7 @@ def main(argv=None) -> dict:
     diagnostics.save_diagnostics_npz(
         os.path.join(out_dir, "diagnostics.npz"), out.tape, poses, stamps
     )
+    diagnostics.save_map_event_log(os.path.join(out_dir, "map_events.jsonl"), out.tape)
     if cfg.with_map:
         n_splats = splat_export.save_splat_export(
             os.path.join(out_dir, "splat_export.npz"), state.atlas

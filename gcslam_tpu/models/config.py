@@ -126,7 +126,11 @@ class PipelineConfig:
     with_camera: bool = False
 
     def validate(self) -> None:
-        """Budget fail-fast against compiled constants (backend_node.py:548-586)."""
+        """Param-registry fail-fast (the reference's PARAM_SPECS + budget
+        check, backend_node.py:121-245,548-586): hard budgets must match the
+        compiled constants, every numeric field must be in its declared
+        range, and enums must be known values. No silent defaults, no
+        clamping — a bad config refuses to start."""
         hard = {
             "k_hyp": C.K_HYP,
             "n_points_cap": C.N_POINTS_CAP,
@@ -141,3 +145,59 @@ class PipelineConfig:
                     f"PipelineConfig.{name}={got} does not match compiled constant {expected}; "
                     "budgets are compile-time constants (no silent overrides)."
                 )
+        for name, lo, hi in PARAM_RANGES:
+            v = getattr(self, name)
+            if not (lo <= v <= hi):
+                raise ValueError(
+                    f"PipelineConfig.{name}={v} outside declared range [{lo}, {hi}]"
+                )
+        for name, allowed in PARAM_ENUMS:
+            v = getattr(self, name)
+            if v not in allowed:
+                raise ValueError(f"PipelineConfig.{name}={v!r} not in {allowed}")
+        if self.m_tile_view > self.m_tile:
+            raise ValueError("m_tile_view must be <= m_tile")
+
+
+# Declared ranges for every tunable numeric (name, min, max) — the registry
+# the reference keeps as PARAM_SPECS.
+PARAM_RANGES = [
+    ("eps_psd", 0.0, 1.0),
+    ("eps_lift", 0.0, 1.0),
+    ("eps_mass", 0.0, 1.0),
+    ("alpha_min", 0.0, 1.0),
+    ("alpha_max", 0.0, 1.0),
+    ("kappa_scale", 0.0, 1e6),
+    ("power_beta_min", 0.0, 1.0),
+    ("imu_gravity_scale", 0.0, 2.0),
+    ("planar_z_sigma", 1e-6, 1e3),
+    ("planar_vz_sigma", 1e-6, 1e3),
+    ("atlas_max_tiles", 1, 65536),
+    ("m_tile", 1, 65536),
+    ("m_tile_view", 1, 65536),
+    ("h_tile", 1e-3, 1e3),
+    ("recency_decay_lambda", 0.0, 10.0),
+    ("recency_min_scale", 0.0, 1.0),
+    ("k_insert_tile", 1, 4096),
+    ("merge_threshold", 0.0, 1e6),
+    ("cull_weight_threshold", 0.0, 1e6),
+    ("forgetting_factor", 0.0, 1.0),
+    ("ot_epsilon", 1e-6, 1e3),
+    ("ot_tau_a", 0.0, 1e6),
+    ("ot_tau_b", 0.0, 1e6),
+    ("ot_cost_beta", 0.0, 1e6),
+    ("surfel_voxel_size_m", 1e-3, 10.0),
+    ("surfel_min_points_per_voxel", 1, 1024),
+    ("map_evidence_scale", 0.0, 1e3),
+    ("map_icp_iters", 1, 8),
+    ("map_icp_coarse_factor", 1.0, 64.0),
+    ("pose_sigma_floor_m", 1e-6, 1.0),
+    ("pose_cauchy_r0_m", 1e-4, 10.0),
+    ("pose_scan_sigma_floor_m", 1e-6, 1.0),
+    ("pose_scan_sigma_floor_rad", 1e-6, 1.0),
+]
+
+PARAM_ENUMS = [
+    ("imu_mode", ("predict", "evidence")),
+    ("odom_pose_mode", ("absolute", "relative")),
+]

@@ -57,10 +57,67 @@ def runtime_manifest(cfg: PipelineConfig) -> Dict[str, Any]:
     return m
 
 
-def manifest_json(cfg: PipelineConfig) -> str:
-    return json.dumps(runtime_manifest(cfg), indent=2, sort_keys=True)
+def compute_cert(compiled) -> Dict[str, Any]:
+    """ComputeCert analog (reference certificates.py:318-360): resource
+    claims of the COMPILED scan program from XLA's own cost analysis —
+    flops, bytes accessed, peak/output allocation — instead of the
+    reference's Python-side allocation counters (a jitted program has no
+    per-op Python allocations to count)."""
+    out: Dict[str, Any] = {}
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        for k in ("flops", "bytes accessed", "optimal_seconds"):
+            if k in ca:
+                out[k.replace(" ", "_")] = float(ca[k])
+    except Exception as e:  # cost analysis is backend-best-effort
+        out["cost_analysis_error"] = str(e)
+    try:
+        mem = compiled.memory_analysis()
+        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(mem, k, None)
+            if v is not None:
+                out[k] = int(v)
+    except Exception as e:
+        out["memory_analysis_error"] = str(e)
+    return out
 
 
-def write_manifest(path: str, cfg: PipelineConfig) -> None:
+def device_runtime_cert() -> Dict[str, Any]:
+    """DeviceRuntimeCert analog (certificates.py:298-316): platform, device
+    inventory, x64 status, and live-compile count."""
+    import jax
+
+    devs = jax.devices()
+    return {
+        "platform": devs[0].platform if devs else "none",
+        "n_devices": len(devs),
+        "device_kinds": sorted({getattr(d, "device_kind", "?") for d in devs}),
+        "x64_enabled": bool(jax.config.jax_enable_x64),
+        "compilation_cache_entries": _compile_count(),
+    }
+
+
+def _compile_count() -> int:
+    """jit_recompile_count analog: entries in the live compilation cache."""
+    try:
+        from jax._src import pjit as _pjit
+
+        return int(_pjit._cpp_pjit_cache_fun_only.size())  # type: ignore[attr-defined]
+    except Exception:
+        return -1
+
+
+def manifest_json(cfg: PipelineConfig, compiled=None) -> str:
+    m = runtime_manifest(cfg)
+    m["device_runtime"] = device_runtime_cert()
+    if compiled is not None:
+        m["compute"] = compute_cert(compiled)
+    return json.dumps(m, indent=2, sort_keys=True)
+
+
+def write_manifest(path: str, cfg: PipelineConfig, compiled=None) -> None:
     with open(path, "w") as f:
-        f.write(manifest_json(cfg))
+        f.write(manifest_json(cfg, compiled))

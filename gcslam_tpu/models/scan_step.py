@@ -91,6 +91,14 @@ class ScanTape(NamedTuple):
     map_valid_total: jnp.ndarray
     ot_transport_mass: jnp.ndarray
     ot_marginal_defect_a: jnp.ndarray
+    # scan-IO stream health (numeric ScanIOCert, reference
+    # certificates.py:274-296: per-stream buffer windows/coverage/drops)
+    io_n_points_valid: jnp.ndarray
+    io_n_imu_valid: jnp.ndarray
+    io_imu_coverage: jnp.ndarray  # dt_int / dt_sec in [0,1]
+    io_n_cam_valid: jnp.ndarray
+    io_loop_weight: jnp.ndarray
+    io_point_weight_sum: jnp.ndarray
 
 
 class StepOutput(NamedTuple):
@@ -593,6 +601,14 @@ def scan_step(
         map_valid_total=map_tape["valid_total"],
         ot_transport_mass=map_tape["ot_transport_mass"],
         ot_marginal_defect_a=map_tape["ot_marginal_defect_a"],
+        io_n_points_valid=jnp.sum((batch.point_weights > 0).astype(BELIEF_DTYPE)),
+        io_n_imu_valid=jnp.sum((batch.imu_stamps > 0).astype(BELIEF_DTYPE)),
+        io_imu_coverage=imu_integration_time(
+            batch.imu_stamps, batch.t_last_scan, batch.t_scan
+        ) / jnp.maximum(batch.dt_sec, 1e-9),
+        io_n_cam_valid=jnp.sum(batch.cam_valid.astype(BELIEF_DTYPE)),
+        io_loop_weight=batch.loop_weight.astype(BELIEF_DTYPE),
+        io_point_weight_sum=jnp.sum(batch.point_weights).astype(BELIEF_DTYPE),
     )
 
     state_new = StepState(

@@ -45,3 +45,36 @@ def summary_json(tape) -> str:
         set(t for names in trigger_history(tape) for t in names)
     )
     return json.dumps(out, indent=2, sort_keys=True)
+
+
+def save_map_event_log(path: str, tape) -> None:
+    """Map maintenance event log, one JSON line per scan (spec 5.7.7 / the
+    reference's MapUpdateCert stream, certificates.py:208-272): insertion /
+    eviction / cull / merge masses and counts, OT transport health, and the
+    scan-IO stream coverage that fed the update."""
+    import json
+
+    d = tape_to_dict(tape)
+    n = len(np.asarray(d["timestamp"]).reshape(-1))
+    keys = [
+        ("t", "timestamp"),
+        ("fused_mass", "map_fused_mass"),
+        ("insert_mass", "map_insert_mass"),
+        ("evicted_mass", "map_evicted_mass"),
+        ("n_culled", "map_n_culled"),
+        ("n_merged", "map_n_merged"),
+        ("valid_total", "map_valid_total"),
+        ("ot_transport_mass", "ot_transport_mass"),
+        ("ot_marginal_defect_a", "ot_marginal_defect_a"),
+        ("n_points_valid", "io_n_points_valid"),
+        ("n_imu_valid", "io_n_imu_valid"),
+        ("imu_coverage", "io_imu_coverage"),
+        ("loop_weight", "io_loop_weight"),
+    ]
+    with open(path, "w") as f:
+        for k in range(n):
+            row = {"scan": k}
+            for name, field in keys:
+                if field in d:
+                    row[name] = float(np.asarray(d[field]).reshape(-1)[k])
+            f.write(json.dumps(row) + "\n")
