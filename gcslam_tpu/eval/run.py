@@ -39,6 +39,8 @@ def main(argv=None) -> dict:
     p.add_argument("--align", default="initial", choices=["initial", "umeyama", "none"])
     p.add_argument("--mode", default="absolute", choices=["absolute", "relative"],
                    help="odometry pose factor mode")
+    p.add_argument("--loop", action="store_true",
+                   help="produce loop-closure factors (streaming mode)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -88,7 +90,12 @@ def main(argv=None) -> dict:
         batches, gt_poses, gt_times = run.batches, run.gt_poses, run.gt_times
 
     t0 = time.time()
-    state, out = runner.run_bag(batches, cfg)
+    if args.loop:
+        from gcslam_tpu.frontend.loop import LoopDetector
+
+        state, out = runner.run_stream(batches, cfg, loop_detector=LoopDetector())
+    else:
+        state, out = runner.run_bag(batches, cfg)
     poses = np.asarray(out.pose)
     wall = time.time() - t0
     stamps = np.asarray(out.stamp)

@@ -1,0 +1,194 @@
+"""Loop-closure production: keyframe store + revisit detection + coarse
+point-to-point alignment, feeding the pipeline's LoopFactor channel.
+
+The reference DEFINES the loop contract (msg/LoopFactor.msg: anchor-relative
+pose + 6x6 cov + approximation triggers; spec 6.12 'budgeted late evidence,
+no iterative smoother') but nothing in its tree ever produces one at runtime
+(SURVEY.md 2.7). Here the frontend produces them: a budgeted keyframe store
+(host side, like the reference's would-be detector node), revisit detection
+by traveled-distance-gated proximity, and a fixed-iteration point-to-point
+ICP on downsampled clouds. The factor is consumed by the SAME in-graph
+Gaussian evidence path the pipeline always compiles (scan_step loop factor,
+weight 0 when absent) — detection is host-side, consumption is branch-free.
+
+Design notes:
+  - keyframes hold DESKEWED body points subsampled to a fixed budget and the
+    estimated world pose at creation; matching runs truth-free;
+  - the relative transform is estimated coarse-to-fine (3 ICP rounds with
+    shrinking trim radius) with a closed-form Kabsch step per round;
+  - covariance is scaled by the post-fit residual and match fraction, so a
+    bad registration enters the filter weak instead of being gated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    keyframe_every: int = 10  # scans between keyframes
+    max_keyframes: int = 128
+    points_per_keyframe: int = 512
+    min_index_gap: int = 40  # scans; suppress trivial "loops" to the recent past
+    max_revisit_dist_m: float = 1.5
+    icp_iters: int = 3
+    icp_radii_m: Tuple[float, float, float] = (1.0, 0.5, 0.25)
+    min_match_frac: float = 0.3
+    sigma_trans_floor_m: float = 0.05
+    sigma_rot_floor_rad: float = 0.02
+    cooldown_scans: int = 20  # between produced factors
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int
+    pose: np.ndarray  # (6,) [trans, rotvec] world (estimated)
+    points_body: np.ndarray  # (P, 3)
+
+
+def _yaw_rotvec_to_R(rv: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(rv)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rv / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * K @ K
+
+
+def _R_to_rotvec(R: np.ndarray) -> np.ndarray:
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    if theta < 1e-8:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / 2.0
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return v * theta / (2.0 * np.sin(theta))
+
+
+def _subsample(points: np.ndarray, weights: np.ndarray, budget: int) -> np.ndarray:
+    ok = weights > 0
+    pts = points[ok]
+    if pts.shape[0] <= budget:
+        return pts
+    idx = np.linspace(0, pts.shape[0] - 1, budget).astype(int)
+    return pts[idx]
+
+
+class LoopDetector:
+    """Streaming loop-closure producer (one instance per run)."""
+
+    def __init__(self, cfg: LoopConfig = LoopConfig()):
+        self.cfg = cfg
+        self.keyframes: List[Keyframe] = []
+        self._last_factor_index = -(10**9)
+
+    def detect(
+        self,
+        index: int,
+        pose_guess: np.ndarray,  # (6,) current pose estimate (e.g. previous scan)
+        points_body: np.ndarray,  # (N, 3) current scan
+        point_weights: np.ndarray,  # (N,)
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+        """Called BEFORE stepping scan `index`: returns (loop_pose (6,),
+        loop_cov (6,6), weight) to inject into this scan's batch, or None."""
+        cfg = self.cfg
+        pose_guess = np.asarray(pose_guess, dtype=np.float64)
+        cand = self._find_revisit(index, pose_guess)
+        if cand is None or index - self._last_factor_index < cfg.cooldown_scans:
+            return None
+        cur = _subsample(
+            np.asarray(points_body, dtype=np.float64),
+            np.asarray(point_weights, dtype=np.float64),
+            cfg.points_per_keyframe,
+        )
+        fit = self._register(cur, pose_guess, cand)
+        if fit is not None:
+            self._last_factor_index = index
+        return fit
+
+    def store(
+        self,
+        index: int,
+        pose_est: np.ndarray,  # (6,) the scan's POSTERIOR pose estimate
+        points_body: np.ndarray,
+        point_weights: np.ndarray,
+    ) -> None:
+        """Called AFTER stepping scan `index` with its final pose."""
+        cfg = self.cfg
+        if index % cfg.keyframe_every != 0:
+            return
+        pts = _subsample(
+            np.asarray(points_body, dtype=np.float64),
+            np.asarray(point_weights, dtype=np.float64),
+            cfg.points_per_keyframe,
+        )
+        self.keyframes.append(
+            Keyframe(index=index, pose=np.asarray(pose_est, dtype=np.float64).copy(),
+                     points_body=pts)
+        )
+        if len(self.keyframes) > cfg.max_keyframes:
+            self.keyframes.pop(0)
+
+    # ------------------------------------------------------------------
+    def _find_revisit(self, index: int, pose: np.ndarray) -> Optional[Keyframe]:
+        best, best_d = None, self.cfg.max_revisit_dist_m
+        for kf in self.keyframes:
+            if index - kf.index < self.cfg.min_index_gap:
+                continue
+            d = float(np.linalg.norm(pose[:2] - kf.pose[:2]))
+            if d < best_d:
+                best, best_d = kf, d
+        return best
+
+    def _register(
+        self, cur_body: np.ndarray, pose_est: np.ndarray, kf: Keyframe
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+        """ICP cur scan (body) onto keyframe cloud (body), initialized from
+        the estimated relative pose; returns absolute loop target pose."""
+        cfg = self.cfg
+        R_c = _yaw_rotvec_to_R(pose_est[3:6])
+        R_k = _yaw_rotvec_to_R(kf.pose[3:6])
+        # init: T_rel = kf_pose^-1 ∘ cur_pose
+        R_rel = R_k.T @ R_c
+        t_rel = R_k.T @ (pose_est[:3] - kf.pose[:3])
+
+        tgt = kf.points_body  # (P, 3) keyframe body frame
+        match_frac, rms = 0.0, np.inf
+        for it in range(cfg.icp_iters):
+            radius = cfg.icp_radii_m[min(it, len(cfg.icp_radii_m) - 1)]
+            src = cur_body @ R_rel.T + t_rel[None, :]
+            # nearest neighbor by brute force (P<=512: 512x512 fine)
+            d2 = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+            nn = np.argmin(d2, axis=1)
+            dist = np.sqrt(d2[np.arange(len(nn)), nn])
+            ok = dist < radius
+            match_frac = float(ok.mean())
+            if ok.sum() < 10:
+                return None
+            a = cur_body[ok]
+            b = tgt[nn[ok]]
+            # weighted Kabsch
+            ca, cb = a.mean(0), b.mean(0)
+            H = (a - ca).T @ (b - cb)
+            U, S, Vt = np.linalg.svd(H)
+            D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+            R_rel = Vt.T @ D @ U.T
+            t_rel = cb - R_rel @ ca
+            src = a @ R_rel.T + t_rel[None, :]
+            rms = float(np.sqrt(((src - b) ** 2).sum(-1).mean()))
+
+        if match_frac < cfg.min_match_frac:
+            return None
+        # absolute target pose: kf_pose ∘ T_rel
+        t_abs = kf.pose[:3] + R_k @ t_rel
+        R_abs = R_k @ R_rel
+        loop_pose = np.concatenate([t_abs, _R_to_rotvec(R_abs)])
+        # covariance from residual + match quality (continuous, no gates)
+        s_t = max(cfg.sigma_trans_floor_m, rms) / max(match_frac, 1e-3)
+        s_r = max(cfg.sigma_rot_floor_rad, rms / 2.0) / max(match_frac, 1e-3)
+        cov = np.diag([s_t**2] * 3 + [s_r**2] * 3)
+        weight = match_frac
+        return loop_pose, cov, weight

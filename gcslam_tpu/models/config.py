@@ -120,7 +120,7 @@ class PipelineConfig:
     # Whole-scan information caps (correlated-error model): the factor never
     # claims alignment better than these sigmas (translation / rotation).
     pose_scan_sigma_floor_m: float = 0.02
-    pose_scan_sigma_floor_rad: float = 0.005
+    pose_scan_sigma_floor_rad: float = 0.002
 
     # Camera
     with_camera: bool = False

@@ -33,17 +33,46 @@ def run_scan(state0: StepState, batches: ScanBatch, config: PipelineConfig):
 
 
 def run_stream(
-    batches: List[ScanBatch], config: PipelineConfig, state: StepState | None = None
+    batches: List[ScanBatch],
+    config: PipelineConfig,
+    state: StepState | None = None,
+    loop_detector=None,
 ) -> Tuple[StepState, StepOutput]:
     """Host streaming loop over the jitted step; returns final state and
-    stacked outputs (poses/tape gathered on device, one transfer at the end)."""
+    stacked outputs (poses/tape gathered on device, one transfer at the end).
+
+    `loop_detector` (frontend.loop.LoopDetector) enables loop-closure
+    production: detection runs host-side between steps (this is the online
+    mode — run_bag's single lax.scan cannot take host feedback), factors are
+    injected into the batch's loop channel and consumed by the always-compiled
+    in-graph loop evidence (weight 0 when absent), so enabling loops causes
+    NO recompilation."""
+    import numpy as np
+
     config.validate()
     if state is None:
         state = init_state(config)
     outs = []
-    for batch in batches:
+    pose_prev = np.zeros(6)
+    for i, batch in enumerate(batches):
+        if loop_detector is not None and i > 0:
+            hit = loop_detector.detect(
+                i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights)
+            )
+            if hit is not None:
+                lp, lc, lw = hit
+                batch = batch._replace(
+                    loop_pose=jax.numpy.asarray(lp, dtype=batch.loop_pose.dtype),
+                    loop_cov=jax.numpy.asarray(lc, dtype=batch.loop_cov.dtype),
+                    loop_weight=jax.numpy.asarray(lw, dtype=batch.loop_weight.dtype),
+                )
         state, out = _step_jit(state, batch, config)
         outs.append(out)
+        if loop_detector is not None:
+            pose_prev = np.asarray(out.pose)
+            loop_detector.store(
+                i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights)
+            )
     stacked = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *outs)
     return state, stacked
 
