@@ -41,6 +41,10 @@ def main(argv=None) -> dict:
                    help="odometry pose factor mode")
     p.add_argument("--loop", action="store_true",
                    help="produce loop-closure factors (streaming mode)")
+    p.add_argument("--camera", action="store_true",
+                   help="synthetic RGB-D camera + visual frontend (config 3)")
+    p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
+                   help="synthetic trajectory shape")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -67,6 +71,7 @@ def main(argv=None) -> dict:
         n_surfel=512,
         surfel_voxel_size_m=0.3,
         odom_pose_mode=args.mode,
+        with_camera=args.camera,
     )
     cfg.validate()
     write_manifest(os.path.join(out_dir, "runtime_manifest.json"), cfg)
@@ -85,6 +90,8 @@ def main(argv=None) -> dict:
                 odom_drift_pos_per_m=args.drift,
                 odom_drift_yaw_per_m=args.drift / 2,
                 seed=args.seed,
+                trajectory=args.trajectory,
+                with_camera=args.camera,
             )
         )
         batches, gt_poses, gt_times = run.batches, run.gt_poses, run.gt_times

@@ -309,6 +309,87 @@ def extract_camera_features(
     )
 
 
+def extract_camera_features_native(
+    gray: "np.ndarray",  # (H, W) float [0,1] or uint8
+    depth: "np.ndarray",  # (H, W) float meters, 0 = invalid
+    rgb: "np.ndarray",  # (H, W, 3) float [0,1]
+    intr: PinholeIntrinsics,
+    lidar_cam=None,
+    lidar_w=None,
+    n_feat: int = C.N_FEAT,
+) -> "CameraFeatures | None":
+    """Native fast path: corner detection + robust depth + plane fit run in
+    C++ (native/gcslam_native.cpp gcslam_visual_features — the reference's
+    src/visual_feature_node.cpp stage), then the Gaussian/vMF lifting reuses
+    the same JAX ops as the pure path. Returns None when the native library
+    is unavailable (callers fall back to extract_camera_features)."""
+    import numpy as np
+    from gcslam_tpu.frontend import native as native_mod
+
+    g8 = np.asarray(gray)
+    if g8.dtype != np.uint8:
+        g8 = np.clip(np.asarray(gray, dtype=np.float64) * 255.0, 0, 255).astype(np.uint8)
+    out = native_mod.visual_features(g8, np.asarray(depth, np.float32), max_feat=n_feat)
+    if out is None:
+        return None
+    n, uv_n, score_n, z_n, zvar_n, _normal, _gray01 = out
+
+    f = BELIEF_DTYPE
+    uv = jnp.zeros((n_feat, 2), dtype=f).at[:n].set(jnp.asarray(uv_n[:n], dtype=f))
+    score = jnp.zeros((n_feat,), dtype=f).at[:n].set(jnp.asarray(score_n[:n], dtype=f))
+    z_cam = jnp.zeros((n_feat,), dtype=f).at[:n].set(jnp.asarray(z_n[:n], dtype=f))
+    resid_var = jnp.ones((n_feat,), dtype=f).at[:n].set(jnp.asarray(zvar_n[:n], dtype=f))
+    valid = jnp.zeros((n_feat,), dtype=bool).at[:n].set(True)
+
+    z_valid = z_cam > 0.05
+    sigma_z_sq = resid_var + (0.0025 * z_cam**2) + 1e-6
+    lam_z_cam = jnp.where(z_valid, 1.0 / sigma_z_sq, 0.0)
+    if lidar_cam is not None:
+        lam_z_l, z_l = lidar_depth_evidence(
+            uv, jnp.asarray(lidar_cam, dtype=POINT_DTYPE),
+            jnp.asarray(lidar_w if lidar_w is not None else jnp.ones(len(lidar_cam)),
+                        dtype=POINT_DTYPE),
+            intr,
+        )
+        lam_z_l = lam_z_l.astype(f)
+        z_l = z_l.astype(f)
+    else:
+        lam_z_l = jnp.zeros_like(z_cam)
+        z_l = jnp.zeros_like(z_cam)
+
+    lam_f = lam_z_cam + lam_z_l
+    z_f = (lam_z_cam * z_cam + lam_z_l * z_l) / (lam_f + 1e-12)
+    has_depth = lam_f > 1e-6
+    z_f = jnp.where(has_depth, z_f, 1.0)
+
+    Sigma = backprojection_covariance(uv, z_f, 1.0 / (lam_f + 1e-12), intr)
+    Lam = linalg.inv3x3(Sigma.astype(f), eps=1e-9)
+    p_cam = backproject(uv, z_f, intr).astype(f)
+    theta = jnp.einsum("nij,nj->ni", Lam, p_cam)
+
+    ray = p_cam / (jnp.linalg.norm(p_cam, axis=-1, keepdims=True) + 1e-12)
+    kappa_app = 5.0 * score / (score + jnp.mean(score) + 1e-12)
+    etas = jnp.zeros((n_feat, C.VMF_N_LOBES, 3), dtype=f)
+    etas = etas.at[:, 0, :].set(kappa_app[:, None] * ray)
+
+    import numpy as _np
+    rgbn = _np.asarray(rgb)
+    ui = _np.clip(_np.asarray(uv[:, 0], dtype=int), 0, rgbn.shape[1] - 1)
+    vi = _np.clip(_np.asarray(uv[:, 1], dtype=int), 0, rgbn.shape[0] - 1)
+    colors = jnp.asarray(rgbn[vi, ui], dtype=f)
+
+    ok = valid & has_depth
+    weights = jnp.where(ok, score / (score + jnp.mean(score) + 1e-12), 0.0).astype(f)
+    okf = ok.astype(f)
+    return CameraFeatures(
+        uv=uv, depth=z_f.astype(f),
+        Lambdas=Lam * okf[:, None, None],
+        thetas=theta * okf[:, None],
+        etas=etas * okf[:, None, None],
+        weights=weights, colors=colors, valid=ok,
+    )
+
+
 def features_to_base_frame(feats: CameraFeatures, T_base_cam: jnp.ndarray) -> CameraFeatures:
     """Transform the camera-frame Gaussians/lobes into the base frame
     (cam batch slice is consumed in base coordinates)."""

@@ -58,6 +58,12 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         f32p, f64p, f32p, i32p, i32p,
     ]
+    lib.gcslam_visual_features.restype = ctypes.c_int32
+    lib.gcslam_visual_features.argtypes = [
+        u8p, f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32,
+        f32p, f32p, f32p, f32p, f32p, f32p,
+    ]
     _lib = lib
     return lib
 
@@ -140,3 +146,35 @@ def parse_odometry_batch(payloads):
         _ptr(twist, ctypes.c_double), _ptr(tcov, ctypes.c_double),
     )
     return stamps, pos, quat, pcov, twist, tcov
+
+
+def visual_features(gray_u8, depth_f32, max_feat: int = 512,
+                    min_score: float = 5e-4, nms_radius: int = 6):
+    """Native visual feature extraction (the reference's
+    src/visual_feature_node.cpp stage: corners + robust depth + plane fit).
+    Returns (n, uv (F,2), score (F,), z (F,), z_var (F,), normal_duv1 (F,3),
+    gray01 (F,)) or None when the library is unavailable.
+
+    normal_duv1 is the depth-plane normal in the (du, dv, 1) image basis;
+    apply intrinsics on the Python side to get the camera-frame normal."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(gray_u8, dtype=np.uint8)
+    d = np.ascontiguousarray(depth_f32, dtype=np.float32)
+    H, W = g.shape
+    F = int(max_feat)
+    uv = np.zeros((F, 2), dtype=np.float32)
+    score = np.zeros(F, dtype=np.float32)
+    z = np.zeros(F, dtype=np.float32)
+    zvar = np.zeros(F, dtype=np.float32)
+    normal = np.zeros((F, 3), dtype=np.float32)
+    color = np.zeros(F, dtype=np.float32)
+    n = lib.gcslam_visual_features(
+        _ptr(g, ctypes.c_uint8), _ptr(d, ctypes.c_float),
+        W, H, F, ctypes.c_float(min_score), nms_radius,
+        _ptr(uv, ctypes.c_float), _ptr(score, ctypes.c_float),
+        _ptr(z, ctypes.c_float), _ptr(zvar, ctypes.c_float),
+        _ptr(normal, ctypes.c_float), _ptr(color, ctypes.c_float),
+    )
+    return int(n), uv, score, z, zvar, normal, color

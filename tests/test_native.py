@@ -75,3 +75,62 @@ def test_native_imu_odometry_batch():
     np.testing.assert_allclose(pos, np.stack([m.position for m in ref]))
     np.testing.assert_allclose(pcov, np.stack([m.pose_cov for m in ref]))
     np.testing.assert_allclose(twist[:, 3:], np.stack([m.twist_angular for m in ref]))
+
+
+def test_native_visual_features_plane():
+    """Native corner+depth stage: exact plane depth recovery and agreement
+    with the camera frontend's contract."""
+    import numpy as np
+    from gcslam_tpu.frontend import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    H, W = 120, 160
+    yy, xx = np.mgrid[0:H, 0:W]
+    gray = (((xx // 10 + yy // 10) % 2) * 200 + 20).astype(np.uint8)
+    depth = (2.0 + 0.002 * xx + 0.001 * yy).astype(np.float32)
+    n, uv, score, z, zvar, normal, color = native.visual_features(gray, depth, max_feat=128)
+    assert n > 50
+    z_gt = 2.0 + 0.002 * uv[:n, 0] + 0.001 * uv[:n, 1]
+    assert np.abs(z[:n] - z_gt).max() < 1e-3
+    # plane normal in (du,dv,1) basis matches the injected gradient
+    g = np.array([-0.002, -0.001, 1.0])
+    g /= np.linalg.norm(g)
+    assert np.abs(normal[:n] - g).max() < 1e-3
+
+
+def test_native_camera_features_pipeline():
+    """extract_camera_features_native produces a valid CameraFeatures batch
+    compatible with the Python path's contract."""
+    import numpy as np
+    from gcslam_tpu.frontend import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    from gcslam_tpu.frontend.camera import (
+        extract_camera_features_native, PinholeIntrinsics,
+    )
+
+    H, W = 120, 160
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    gray = (((xx // 12 + yy // 12) % 2) * 0.7 + 0.1) + rng.normal(0, 0.01, (H, W))
+    depth = (3.0 - 0.004 * xx).astype(np.float32)
+    rgb = np.stack([gray, gray, gray], -1)
+    intr = PinholeIntrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2)
+    feats = extract_camera_features_native(gray, depth, rgb, intr, n_feat=128)
+    assert feats is not None
+    ok = np.asarray(feats.valid)
+    assert ok.sum() > 30
+    lam = np.asarray(feats.Lambdas)[ok]
+    assert np.isfinite(lam).all()
+    # precision is PSD-ish and depth is near truth
+    eig = np.linalg.eigvalsh(0.5 * (lam + lam.transpose(0, 2, 1)))
+    assert (eig[:, 0] > -1e-6).all()
+    uv = np.asarray(feats.uv)[ok]
+    z = np.asarray(feats.depth)[ok]
+    assert np.abs(z - (3.0 - 0.004 * uv[:, 0])).max() < 0.05
