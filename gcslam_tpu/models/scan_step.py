@@ -154,7 +154,13 @@ def _hypothesis_step(
     # marginal is unchanged to within Q_dt*dt ~ 1e-7).
     _, Sigma_prev_full, _ = to_moments(belief_prev, cfg.eps_lift)
     dt_std = jnp.sqrt(jnp.abs(Sigma_prev_full[C.IDX_DT, C.IDX_DT]))
-    sigma_warp = jnp.maximum(dt_std, 0.01)
+    # Physical cap: a time-offset uncertainty beyond a quarter scan interval
+    # makes the soft membership window flatter than the data can ever
+    # support — it under-weights EVERY in-window sample uniformly (an
+    # unbounded sigma_warp is how the dt-variance runaway turned into a 30%
+    # gyro under-integration; see ops/iw.process_iw_suffstats).
+    warp_cap = jnp.maximum(0.25 * batch.dt_sec, 0.01)
+    sigma_warp = jnp.clip(dt_std, 0.01, warp_cap)
     w_imu_scan = smooth_window_weights(
         batch.imu_stamps, batch.scan_start_time, batch.scan_end_time, sigma_warp
     )
@@ -453,7 +459,8 @@ def _hypothesis_step(
 
     # --- Step 14: process IW suffstats (commutative) ------------------------
     dPsi_proc, dnu_proc = iw.process_iw_suffstats(
-        belief_pred.L, belief_pred.h, belief_rec.L, belief_rec.h, cfg.eps_lift
+        belief_pred.L, belief_pred.h, belief_rec.L, belief_rec.h, cfg.eps_lift,
+        L_evidence,
     )
 
     # --- Step 16: anchor drift ----------------------------------------------

@@ -129,9 +129,22 @@ def process_iw_suffstats(
     L_post: jnp.ndarray,
     h_post: jnp.ndarray,
     eps_lift: float = C.EPS_LIFT,
+    L_evidence: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Commutative process-noise suffstats from the info-form innovation:
-    dPsi_b = (r r^T + Sigma_post)_b with r = mu_post - mu_pred; dnu = 1."""
+    dPsi_b = w_b * (r r^T + Sigma_post)_b with r = mu_post - mu_pred,
+    dnu_b = w_b.
+
+    w_b is the block's evidence-vs-prior OBSERVABILITY weight
+    tr(L_ev,b) / (tr(L_ev,b) + tr(L_pred,b)). Without it (the reference form,
+    operators/inverse_wishart_jax.py:72-125), an UNOBSERVED block feeds its
+    own prior variance back as a pseudo-measurement of Q: Sigma_post for an
+    unobserved block is just the Q-grown prior, so Psi accumulates it,
+    Q inflates, Sigma grows faster — an exponential runaway. Measured on a
+    40 s run: Q_dt 4e-7 -> 2.7e-3, dt_std 0.01 -> 0.09 s, which flattened
+    the soft IMU windows and under-integrated every gyro increment ~30%.
+    With w_b, an unobserved block contributes ~nothing and the forgetful
+    rho-decay holds the IW at its prior."""
     mu_pred, _ = linalg.spd_solve_lifted(L_pred, h_pred, eps_lift)
     mu_post, _ = linalg.spd_solve_lifted(L_post, h_post, eps_lift)
     Sigma_post, _ = linalg.spd_inverse_lifted(L_post, eps_lift)
@@ -139,7 +152,16 @@ def process_iw_suffstats(
     rrT = jnp.einsum("bi,bj->bij", r_blocks, r_blocks)
     S_blocks = _pack_blocks_mat(Sigma_post)
     dPsi = (rrT + S_blocks) * jnp.asarray(PROCESS_BLOCK_MASKS, dtype=rrT.dtype)
-    return dPsi, jnp.ones((7,), dtype=rrT.dtype)
+    dnu = jnp.ones((7,), dtype=rrT.dtype)
+    if L_evidence is not None:
+        Lev_b = _pack_blocks_mat(L_evidence)
+        Lpr_b = _pack_blocks_mat(L_pred)
+        tr_ev = jnp.einsum("bii->b", Lev_b)
+        tr_pr = jnp.einsum("bii->b", Lpr_b)
+        w = tr_ev / (tr_ev + tr_pr + C.EPS_MASS)
+        dPsi = dPsi * w[:, None, None]
+        dnu = dnu * w
+    return dPsi, dnu
 
 
 def process_iw_apply(

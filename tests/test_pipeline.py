@@ -122,3 +122,26 @@ def test_loop_closure_reduces_drift():
     e_loop = np.linalg.norm(np.asarray(out_loop.pose)[-1, :2] - run.gt_poses[-1, :2])
     assert e_loop < e_plain
     assert e_loop < 0.3
+
+
+def test_unobserved_block_iw_stays_bounded():
+    """Process-noise IW must not self-inflate on unobserved blocks (the
+    dt-variance runaway: dPsi = r r^T + Sigma_post feeds the Q-grown prior
+    variance back as a pseudo-measurement of Q; ops/iw.process_iw_suffstats
+    now weights suffstats by block observability)."""
+    import numpy as np
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+    from gcslam_tpu.models import runner
+    from gcslam_tpu.models.config import PipelineConfig
+    from gcslam_tpu.models.scan_step import init_state
+
+    run = generate(SyntheticConfig(n_scans=60, n_points=256, seed=0))
+    cfg = PipelineConfig(with_map=False)
+    state = init_state(cfg)
+    q0 = float(np.asarray(state.process_iw.Psi[5])[0, 0] /
+               max(float(np.asarray(state.process_iw.nu[5])) - 2, 0.1))
+    state, out = runner.run_bag(run.batches, cfg)
+    q1 = float(np.asarray(state.process_iw.Psi[5])[0, 0] /
+               max(float(np.asarray(state.process_iw.nu[5])) - 2, 0.1))
+    # dt block is unobserved: its IW mean must stay within 10x of the prior
+    assert q1 < 10 * q0, (q0, q1)
