@@ -45,6 +45,8 @@ def main(argv=None) -> dict:
                    help="synthetic RGB-D camera + visual frontend (config 3)")
     p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
                    help="synthetic trajectory shape")
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON PipelineConfig file (configs/gc_default.yaml)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -63,17 +65,27 @@ def main(argv=None) -> dict:
     out_dir = args.out or time.strftime("results/gc_%Y%m%d_%H%M%S")
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg = PipelineConfig(
-        with_map=not args.no_map,
-        atlas_max_tiles=64,
-        m_tile=1024,
-        m_tile_view=256,
-        n_surfel=512,
-        surfel_voxel_size_m=0.3,
-        odom_pose_mode=args.mode,
-        with_camera=args.camera,
-    )
-    cfg.validate()
+    if args.config:
+        from gcslam_tpu.models.config import config_from_file
+
+        cfg = config_from_file(
+            args.config,
+            with_map=not args.no_map,
+            odom_pose_mode=args.mode,
+            with_camera=args.camera,
+        )
+    else:
+        cfg = PipelineConfig(
+            with_map=not args.no_map,
+            atlas_max_tiles=64,
+            m_tile=1024,
+            m_tile_view=256,
+            n_surfel=512,
+            surfel_voxel_size_m=0.3,
+            odom_pose_mode=args.mode,
+            with_camera=args.camera,
+        )
+        cfg.validate()
     write_manifest(os.path.join(out_dir, "runtime_manifest.json"), cfg)
 
     if args.bag:

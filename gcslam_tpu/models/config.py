@@ -201,3 +201,31 @@ PARAM_ENUMS = [
     ("imu_mode", ("predict", "evidence")),
     ("odom_pose_mode", ("absolute", "relative")),
 ]
+
+
+def config_from_file(path: str, **overrides) -> "PipelineConfig":
+    """Load a PipelineConfig from YAML or JSON — the single-config contract
+    of the reference's config/gc_unified.yaml (SURVEY.md 2.8). Unknown keys
+    are a hard error (no silent defaults), kwargs override file values, and
+    the result is validate()d before it is returned."""
+    import dataclasses
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        import yaml
+
+        data = yaml.safe_load(text)
+    if not isinstance(data, dict):
+        raise ValueError(f"{path}: expected a mapping at top level, got {type(data)}")
+    known = {f.name for f in dataclasses.fields(PipelineConfig)}
+    unknown = sorted(set(data) - known)
+    if unknown:
+        raise ValueError(f"{path}: unknown PipelineConfig keys: {unknown}")
+    data.update(overrides)
+    cfg = PipelineConfig(**data)
+    cfg.validate()
+    return cfg

@@ -1,0 +1,59 @@
+"""Multi-run replay sweep sharded over an 8-device CPU mesh (parallel/sweep.py).
+
+Checks the TPU scale-out contract (SURVEY.md 2.10): N independent filter
+states advance under one jitted step with the run axis sharded over the
+mesh, results match the unsharded reference run, and different per-run
+inputs give different per-run trajectories.
+"""
+
+import numpy as np
+
+from gcslam_tpu.utils.xla import jax, jnp
+from gcslam_tpu.models.config import PipelineConfig
+from gcslam_tpu.parallel import sweep
+from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+from gcslam_tpu.models.scan_io import stack_scan_batches
+from gcslam_tpu.models import runner
+
+
+def _runs(n_runs, n_scans=6):
+    packs = []
+    for seed in range(n_runs):
+        run = generate(SyntheticConfig(n_scans=n_scans, n_points=256, seed=seed))
+        packs.append(stack_scan_batches(run.batches))
+    # (runs, scans, ...) -> per-scan slices later
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *packs)
+
+
+def test_sweep_matches_single_and_shards():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must force an 8-device CPU topology"
+    n_runs = 8
+    cfg = PipelineConfig(with_map=False)
+    batches = _runs(n_runs)
+
+    mesh = sweep.make_mesh()
+    states = sweep.batched_init_state(cfg, n_runs)
+    states = sweep.shard_states(states, mesh)
+
+    n_scans = int(np.asarray(batches.t_scan).shape[1])
+    poses = []
+    for k in range(n_scans):
+        bk = jax.tree_util.tree_map(lambda x: x[:, k], batches)
+        bk = sweep.shard_batches(bk, mesh)
+        states, outs, agg = sweep.sweep_step(states, bk, cfg)
+        poses.append(np.asarray(outs.pose))
+    poses = np.stack(poses, axis=1)  # (runs, scans, 6)
+
+    # per-run trajectories differ (different seeds)
+    assert np.abs(poses[0] - poses[1]).max() > 1e-4
+
+    # run 0 matches an unsharded single replay exactly (same program)
+    run0 = generate(SyntheticConfig(n_scans=n_scans, n_points=256, seed=0))
+    _, out_single = runner.run_bag(run0.batches, cfg)
+    single = np.asarray(out_single.pose)
+    assert np.allclose(poses[0], single, atol=1e-8), np.abs(poses[0] - single).max()
+
+    # aggregates are finite and spread is positive
+    assert np.isfinite(float(agg["pose_spread"]))
+    assert float(agg["pose_spread"]) > 0
