@@ -141,16 +141,46 @@ def main(argv=None) -> dict:
         metrics["n_splats"] = n_splats
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    _write_metrics_csv(os.path.join(out_dir, "metrics.csv"), metrics)
     dashboard.build_dashboard(
         os.path.join(out_dir, "dashboard.html"), out.tape, poses, gt_poses, metrics
     )
+
+    # Post-run invariant audit over the emitted artifacts (the reference
+    # gates its results table on an audit pytest, run_and_evaluate_gc.sh:491).
+    from gcslam_tpu.eval import audit as audit_mod
+
+    audit = audit_mod.audit_run(out_dir)
+    with open(os.path.join(out_dir, "audit.json"), "w") as f:
+        json.dump(audit, f, indent=2)
+
     summary = {
         "out_dir": out_dir,
         "ate_trans_rmse": metrics.get("ate", {}).get("translation", {}).get("rmse"),
         "ate_rot_rmse_deg": metrics.get("ate", {}).get("rotation_deg", {}).get("rmse"),
+        "audit_pass": bool(audit.get("all_pass", False)),
     }
     print(json.dumps(summary))
     return metrics
+
+
+def _write_metrics_csv(path: str, metrics: dict) -> None:
+    """Flattened key,value CSV (the reference emits metrics.{txt,csv,json},
+    evaluate_slam.py)."""
+    rows = []
+
+    def walk(prefix, v):
+        if isinstance(v, dict):
+            for k, x in v.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), x)
+        elif isinstance(v, (int, float, bool, str)) or v is None:
+            rows.append((prefix, v))
+
+    walk("", metrics)
+    with open(path, "w") as f:
+        f.write("key,value\n")
+        for k, v in rows:
+            f.write(f"{k},{v}\n")
 
 
 if __name__ == "__main__":

@@ -38,8 +38,8 @@ class LoopConfig:
     icp_iters: int = 3
     icp_radii_m: Tuple[float, float, float] = (1.0, 0.5, 0.25)
     min_match_frac: float = 0.3
-    sigma_trans_floor_m: float = 0.05
-    sigma_rot_floor_rad: float = 0.02
+    sigma_trans_floor_m: float = 0.02
+    sigma_rot_floor_rad: float = 0.01
     cooldown_scans: int = 20  # between produced factors
 
 
@@ -48,6 +48,7 @@ class Keyframe:
     index: int
     pose: np.ndarray  # (6,) [trans, rotvec] world (estimated)
     points_body: np.ndarray  # (P, 3)
+    pose_cov: np.ndarray = None  # (6,6) filter pose marginal at creation
 
 
 def _yaw_rotvec_to_R(rv: np.ndarray) -> np.ndarray:
@@ -115,6 +116,7 @@ class LoopDetector:
         pose_est: np.ndarray,  # (6,) the scan's POSTERIOR pose estimate
         points_body: np.ndarray,
         point_weights: np.ndarray,
+        pose_cov: np.ndarray = None,  # (6,6) pose marginal at this scan
     ) -> None:
         """Called AFTER stepping scan `index` with its final pose."""
         cfg = self.cfg
@@ -127,21 +129,24 @@ class LoopDetector:
         )
         self.keyframes.append(
             Keyframe(index=index, pose=np.asarray(pose_est, dtype=np.float64).copy(),
-                     points_body=pts)
+                     points_body=pts,
+                     pose_cov=None if pose_cov is None else np.asarray(pose_cov, dtype=np.float64))
         )
         if len(self.keyframes) > cfg.max_keyframes:
             self.keyframes.pop(0)
 
     # ------------------------------------------------------------------
     def _find_revisit(self, index: int, pose: np.ndarray) -> Optional[Keyframe]:
-        best, best_d = None, self.cfg.max_revisit_dist_m
-        for kf in self.keyframes:
+        """OLDEST keyframe within reach: a loop target is only as good as
+        the keyframe's own pose, and the oldest qualifying keyframe was
+        created when the least drift had accumulated. (Nearest-first picks
+        recently drifted keyframes that merely confirm the current error.)"""
+        for kf in self.keyframes:  # stored in creation order
             if index - kf.index < self.cfg.min_index_gap:
                 continue
-            d = float(np.linalg.norm(pose[:2] - kf.pose[:2]))
-            if d < best_d:
-                best, best_d = kf, d
-        return best
+            if float(np.linalg.norm(pose[:2] - kf.pose[:2])) < self.cfg.max_revisit_dist_m:
+                return kf
+        return None
 
     def _register(
         self, cur_body: np.ndarray, pose_est: np.ndarray, kf: Keyframe
@@ -186,9 +191,21 @@ class LoopDetector:
         t_abs = kf.pose[:3] + R_k @ t_rel
         R_abs = R_k @ R_rel
         loop_pose = np.concatenate([t_abs, _R_to_rotvec(R_abs)])
-        # covariance from residual + match quality (continuous, no gates)
-        s_t = max(cfg.sigma_trans_floor_m, rms) / max(match_frac, 1e-3)
-        s_r = max(cfg.sigma_rot_floor_rad, rms / 2.0) / max(match_frac, 1e-3)
+        # Covariance from the registration's own statistics: translation
+        # sigma ~ rms / sqrt(matches) (mean estimate), rotation sigma ~
+        # translation sigma / lever arm (how far the matched points sit from
+        # the centroid). Floors keep a perfect fit from claiming zero
+        # uncertainty; a poor match_frac widens both continuously.
+        n_match = max(int(match_frac * cur_body.shape[0]), 1)
+        lever = float(np.linalg.norm(tgt - tgt.mean(0), axis=1).mean()) + 1e-3
+        s_t = max(cfg.sigma_trans_floor_m, 2.0 * rms / np.sqrt(n_match)) / max(match_frac, 1e-3)
+        s_r = max(cfg.sigma_rot_floor_rad, s_t / lever)
         cov = np.diag([s_t**2] * 3 + [s_r**2] * 3)
+        # The target is anchored at the KEYFRAME's estimated pose, so its
+        # uncertainty at creation time rides along — without it, a factor
+        # against a drifted mid-run keyframe authoritatively confirms the
+        # drift instead of correcting it.
+        if kf.pose_cov is not None:
+            cov = cov + kf.pose_cov
         weight = match_frac
         return loop_pose, cov, weight

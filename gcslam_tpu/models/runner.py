@@ -70,8 +70,17 @@ def run_stream(
         outs.append(out)
         if loop_detector is not None:
             pose_prev = np.asarray(out.pose)
+            pose_cov = None
+            if i % loop_detector.cfg.keyframe_every == 0:
+                from gcslam_tpu.ops import linalg as _linalg
+                import gcslam_tpu.constants as _C
+
+                b0 = jax.tree_util.tree_map(lambda x: x[0], state.beliefs)
+                Sig, _ = _linalg.spd_inverse_lifted(b0.L, config.eps_lift)
+                pose_cov = np.asarray(Sig)[_C.IDX_POSE, _C.IDX_POSE]
             loop_detector.store(
-                i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights)
+                i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights),
+                pose_cov,
             )
     stacked = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *outs)
     return state, stacked

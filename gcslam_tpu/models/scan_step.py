@@ -206,8 +206,28 @@ def _hypothesis_step(
     from gcslam_tpu.ops.predict import predict_diffusion, predict_imu
 
     if imu_predict:
+        # Rate fusion in the PREDICTION: the wheel yaw-rate is a measurement
+        # of the same increment the gyro integrates, so it belongs in the
+        # prediction (inverse-variance fusion of the rotvec-z increment),
+        # NOT in the evidence stack. Injecting increment measurements as
+        # absolute-slot factors (the reference's yawrate/kinematic path,
+        # odom_twist_evidence.py:157-397) adds ~1/prior_var of absolute
+        # precision every scan, so the claimed yaw variance saturates near
+        # the per-scan level while true dead-reckoning error grows — the
+        # filter becomes UNFALSIFIABLY overconfident and no map/loop/odom
+        # correction can move it. Increment fusion keeps the increments
+        # tight and lets absolute variance grow honestly.
+        delta_pose_f = pre_int.delta_pose
+        if cfg.enable_odom_twist:
+            var_g = Sigma_g[2, 2] * jnp.maximum(dt_int, 1e-6)
+            sigma_wz_sq = jnp.maximum(batch.odom_twist_cov[5, 5], 1e-12)
+            var_o = sigma_wz_sq * jnp.maximum(dt_int, 1e-6) ** 2 + C.EPS_MASS * 1e-3
+            w_g = var_o / (var_g + var_o)
+            dz_odom = batch.odom_twist[5] * dt_int
+            dz_f = w_g * pre_int.delta_pose[5] + (1.0 - w_g) * dz_odom
+            delta_pose_f = pre_int.delta_pose.at[5].set(dz_f)
         belief_pred, pred_cert = predict_imu(
-            belief_prev, Q, batch.dt_sec, pre_int.delta_pose, pre_int.delta_v,
+            belief_prev, Q, batch.dt_sec, delta_pose_f, pre_int.delta_v,
             dt_int, Sigma_g, Sigma_a, cfg.eps_psd, cfg.eps_lift,
         )
     else:
@@ -346,6 +366,14 @@ def _hypothesis_step(
     all_certs.append(odom_dep_cert)
 
     twist_on = 1.0 if cfg.enable_odom_twist else 0.0
+    # In predict mode the yaw-rate measurement is fused into the prediction
+    # increment (see step 2) and the kinematic-consistency constraint is
+    # already embodied by the prediction itself — re-adding them as factors
+    # double counts the head marginal every scan and saturates the claimed
+    # pose variance (see the rate-fusion note above). They remain active in
+    # 'evidence' mode (reference parity), and kin is still computed for the
+    # odom dependence inflation certificate.
+    rel_on = 0.0 if imu_predict else twist_on
     # Every factor above was linearized at the predicted mean mu_inc and
     # returns h = L @ r (a Newton step). In chart coordinates the factor's
     # information vector must be h = L @ (mu_inc + r): the reference omits
@@ -363,8 +391,9 @@ def _hypothesis_step(
         + preint_fac.L
         + L_planar
         + L_vz
-        + twist_on * odom_dep_scale * (L_vel + L_wz)
-        + twist_on * kin.L
+        + twist_on * odom_dep_scale * L_vel
+        + rel_on * odom_dep_scale * L_wz
+        + rel_on * kin.L
     )
     h_imu_odom = (
         odom_dep_scale * h_odom
@@ -373,8 +402,9 @@ def _hypothesis_step(
         + preint_fac.h
         + h_planar
         + h_vz
-        + twist_on * odom_dep_scale * (h_vel + h_wz)
-        + twist_on * kin.h
+        + twist_on * odom_dep_scale * h_vel
+        + rel_on * odom_dep_scale * h_wz
+        + rel_on * kin.h
     )
     h_imu_odom = h_imu_odom + L_imu_odom @ mu_inc
 
