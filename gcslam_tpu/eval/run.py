@@ -31,18 +31,19 @@ def main(argv=None) -> dict:
     p.add_argument("--out", default=None)
     p.add_argument("--scans", type=int, default=160)
     p.add_argument("--points", type=int, default=8192)
-    p.add_argument("--bag", default=None, help="rosbag2 .db3/.mcap path (else synthetic)")
+    p.add_argument("--bag", default=None, help="rosbag2 .db3 path (else synthetic)")
+    p.add_argument("--gt", default=None, help="ground-truth TUM file for a bag run")
     p.add_argument("--no-map", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--drift", type=float, default=0.05, help="synthetic odom drift per sqrt(m)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--align", default="initial", choices=["initial", "umeyama", "none"])
-    p.add_argument("--mode", default="absolute", choices=["absolute", "relative"],
-                   help="odometry pose factor mode")
+    p.add_argument("--mode", default=None, choices=["absolute", "relative"],
+                   help="odometry pose factor mode (default: config file else absolute)")
     p.add_argument("--loop", action="store_true",
                    help="produce loop-closure factors (streaming mode)")
-    p.add_argument("--camera", action="store_true",
-                   help="synthetic RGB-D camera + visual frontend (config 3)")
+    p.add_argument("--camera", action="store_true", default=None,
+                   help="RGB-D camera + visual frontend (default: config file else off)")
     p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
                    help="synthetic trajectory shape")
     p.add_argument("--config", default=None,
@@ -65,33 +66,71 @@ def main(argv=None) -> dict:
     out_dir = args.out or time.strftime("results/gc_%Y%m%d_%H%M%S")
     os.makedirs(out_dir, exist_ok=True)
 
+    # CLI flags override the config file ONLY when explicitly given (a
+    # default --camera/--mode must not silently clobber the YAML contract).
+    overrides = {}
+    if args.no_map:
+        overrides["with_map"] = False
+    if args.mode is not None:
+        overrides["odom_pose_mode"] = args.mode
+    if args.camera is not None:
+        overrides["with_camera"] = args.camera
     if args.config:
         from gcslam_tpu.models.config import config_from_file
 
-        cfg = config_from_file(
-            args.config,
-            with_map=not args.no_map,
-            odom_pose_mode=args.mode,
-            with_camera=args.camera,
-        )
+        cfg = config_from_file(args.config, **overrides)
     else:
         cfg = PipelineConfig(
-            with_map=not args.no_map,
             atlas_max_tiles=64,
             m_tile=1024,
             m_tile_view=256,
             n_surfel=512,
             surfel_voxel_size_m=0.3,
-            odom_pose_mode=args.mode,
-            with_camera=args.camera,
+            **{"odom_pose_mode": "absolute", "with_camera": False, **overrides},
         )
         cfg.validate()
     write_manifest(os.path.join(out_dir, "runtime_manifest.json"), cfg)
 
     if args.bag:
+        import sys
+
         from gcslam_tpu.frontend import rosbag
 
-        batches, gt_poses, gt_times = rosbag.load_bag(args.bag, n_points=args.points)
+        import dataclasses
+
+        bag_cfg = None
+        if args.config:
+            bag_cfg = rosbag.bag_config_from_file(args.config)
+        if bag_cfg is None:
+            bag_cfg = rosbag.BagConfig(n_points=args.points,
+                                       with_camera=cfg.with_camera)
+        else:
+            bag_cfg = dataclasses.replace(bag_cfg, n_points=args.points)
+        if (tuple(bag_cfg.T_base_lidar) == (0.0,) * 6
+                and tuple(bag_cfg.T_base_imu) == (0.0,) * 6):
+            print(
+                "WARNING: running a real bag with IDENTITY T_base_lidar/T_base_imu "
+                "and imu_accel_scale="
+                f"{bag_cfg.imu_accel_scale} — set the `frontend:` section of the "
+                "run config (configs/gc_kimera.yaml is the template); wrong "
+                "extrinsics silently corrupt every evidence factor.",
+                file=sys.stderr,
+            )
+        if cfg.with_camera != bag_cfg.with_camera:
+            raise ValueError(
+                f"pipeline with_camera={cfg.with_camera} but frontend "
+                f"with_camera={bag_cfg.with_camera}; the two must agree"
+            )
+        batches, gt_poses, gt_times = rosbag.load_bag(args.bag, config=bag_cfg)
+        if args.gt:
+            from gcslam_tpu.outputs import tum as tum_mod
+            from gcslam_tpu.eval import gt_tools
+
+            gt_stamps_raw, gt_raw = tum_mod.read_tum(args.gt)
+            scan_stamps = np.asarray([float(b.t_scan) for b in batches])
+            gt_tools.check_time_overlap(scan_stamps, gt_stamps_raw)
+            gt_poses = gt_tools.interpolate_gt(gt_stamps_raw, gt_raw, scan_stamps)
+            gt_times = scan_stamps
     else:
         from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
 

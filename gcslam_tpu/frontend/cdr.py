@@ -5,7 +5,8 @@ CDR-encoded payloads (4-byte encapsulation header + XCDR1 little-endian
 body). This module decodes exactly the message types the pipeline consumes
 (reference topics, docs/KIMERA_DATASET_AND_PIPELINE.md):
 
-    sensor_msgs/msg/PointCloud2, sensor_msgs/msg/Imu, nav_msgs/msg/Odometry
+    sensor_msgs/msg/PointCloud2, sensor_msgs/msg/Imu, nav_msgs/msg/Odometry,
+    sensor_msgs/msg/Image, sensor_msgs/msg/CompressedImage
 
 plus an encoder for the same types so tests can synthesize valid bags.
 Alignment follows XCDR1: primitives align to min(size, 8) relative to the
@@ -173,6 +174,30 @@ class Imu:
 
 
 @dataclass
+class Image:
+    """sensor_msgs/msg/Image (reference camera_rgbd_node.cpp:175 consumes
+    16UC1/32FC1 depth; visual_feature_node.cpp consumes rgb8/bgr8)."""
+
+    header: Header
+    height: int
+    width: int
+    encoding: str  # "rgb8" | "bgr8" | "mono8" | "16UC1" | "32FC1"
+    is_bigendian: bool
+    step: int
+    data: bytes
+
+
+@dataclass
+class CompressedImage:
+    """sensor_msgs/msg/CompressedImage (reference camera_rgbd_node.cpp:145
+    decodes JPEG-compressed RGB)."""
+
+    header: Header
+    format: str  # e.g. "jpeg", "rgb8; jpeg compressed bgr8"
+    data: bytes
+
+
+@dataclass
 class Odometry:
     header: Header
     child_frame_id: str
@@ -252,6 +277,58 @@ def serialize_imu(msg: Imu) -> bytes:
     w.f64_array(msg.linear_acceleration)
     w.f64_array(msg.linear_acceleration_cov)
     return w.tobytes()
+
+
+def parse_image(buf: bytes) -> Image:
+    r = CdrReader(buf)
+    h = _read_header(r)
+    height, width = r.u32(), r.u32()
+    encoding = r.string()
+    is_be = r.b()
+    step = r.u32()
+    data = r.byte_seq()
+    return Image(h, height, width, encoding, is_be, step, data)
+
+
+def serialize_image(msg: Image) -> bytes:
+    w = CdrWriter()
+    _write_header(w, msg.header.stamp_sec, msg.header.frame_id)
+    w.u32(msg.height)
+    w.u32(msg.width)
+    w.string(msg.encoding)
+    w.u8(int(msg.is_bigendian))
+    w.u32(msg.step)
+    w.byte_seq(msg.data)
+    return w.tobytes()
+
+
+def parse_compressed_image(buf: bytes) -> CompressedImage:
+    r = CdrReader(buf)
+    h = _read_header(r)
+    fmt = r.string()
+    data = r.byte_seq()
+    return CompressedImage(h, fmt, data)
+
+
+def serialize_compressed_image(msg: CompressedImage) -> bytes:
+    w = CdrWriter()
+    _write_header(w, msg.header.stamp_sec, msg.header.frame_id)
+    w.string(msg.format)
+    w.byte_seq(msg.data)
+    return w.tobytes()
+
+
+def image_stamp(buf: bytes) -> float:
+    """Header stamp without decoding pixel data (cheap pairing pass)."""
+    r = CdrReader(buf)
+    return _read_header(r).stamp_sec
+
+
+def header_stamp(buf: bytes) -> float:
+    """Header stamp of ANY std_msgs/Header-led message (every sensor msg the
+    pipeline consumes starts with a header)."""
+    r = CdrReader(buf)
+    return _read_header(r).stamp_sec
 
 
 def parse_odometry(buf: bytes) -> Odometry:

@@ -58,6 +58,13 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         f32p, f64p, f32p, i32p, i32p,
     ]
+    try:
+        lib.gcslam_decode_jpeg.restype = ctypes.c_int32
+        lib.gcslam_decode_jpeg.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i32p, i32p,
+        ]
+    except AttributeError:
+        pass  # older library build; host decoders cover it
     lib.gcslam_visual_features.restype = ctypes.c_int32
     lib.gcslam_visual_features.argtypes = [
         u8p, f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -146,6 +153,27 @@ def parse_odometry_batch(payloads):
         _ptr(twist, ctypes.c_double), _ptr(tcov, ctypes.c_double),
     )
     return stamps, pos, quat, pcov, twist, tcov
+
+
+def decode_jpeg_rgb(data: bytes) -> Optional[np.ndarray]:
+    """JPEG -> (H, W, 3) uint8 RGB via the native libjpeg fast path
+    (the reference's cv::imdecode in camera_rgbd_node.cpp:145), or None
+    when the library (or the symbol) is unavailable."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "gcslam_decode_jpeg"):
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = 4096 * 4096 * 3
+    out = np.zeros(cap, dtype=np.uint8)
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    rc = lib.gcslam_decode_jpeg(
+        _ptr(buf, ctypes.c_uint8), len(data), _ptr(out, ctypes.c_uint8), cap,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc < 0:
+        return None
+    return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
 
 def visual_features(gray_u8, depth_f32, max_feat: int = 512,

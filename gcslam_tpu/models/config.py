@@ -221,6 +221,11 @@ def config_from_file(path: str, **overrides) -> "PipelineConfig":
         data = yaml.safe_load(text)
     if not isinstance(data, dict):
         raise ValueError(f"{path}: expected a mapping at top level, got {type(data)}")
+    # Reserved sections consumed by their own loaders: `frontend:` ->
+    # rosbag.bag_config_from_file (topics/extrinsics/camera/alignment),
+    # `eval:` -> eval.run (gt path, bag path, alignment choice).
+    data.pop("frontend", None)
+    data.pop("eval", None)
     known = {f.name for f in dataclasses.fields(PipelineConfig)}
     unknown = sorted(set(data) - known)
     if unknown:

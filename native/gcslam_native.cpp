@@ -407,4 +407,64 @@ int32_t gcslam_visual_features(
     return n;
 }
 
+// JPEG -> RGB8 decode via libjpeg (the reference decodes compressed camera
+// frames with cv::imdecode in src/camera_rgbd_node.cpp:145; this is the
+// no-OpenCV offline equivalent). Returns total bytes written, or -1 on any
+// decode error / insufficient capacity (callers fall back to host decoders).
+int32_t gcslam_decode_jpeg(const uint8_t* data, int64_t data_len,
+                           uint8_t* out_rgb, int64_t out_cap,
+                           int32_t* out_w, int32_t* out_h);
+
 }  // extern "C"
+
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+struct JpegErr {
+    jpeg_error_mgr mgr;
+    std::jmp_buf jb;
+};
+void jpeg_err_exit(j_common_ptr cinfo) {
+    JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+    std::longjmp(e->jb, 1);
+}
+}  // namespace
+
+extern "C" int32_t gcslam_decode_jpeg(const uint8_t* data, int64_t data_len,
+                                      uint8_t* out_rgb, int64_t out_cap,
+                                      int32_t* out_w, int32_t* out_h) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)data_len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    const int64_t W = cinfo.output_width, H = cinfo.output_height;
+    const int64_t row_bytes = W * 3;
+    if (row_bytes * H > out_cap) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out_rgb + (int64_t)cinfo.output_scanline * row_bytes;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out_w = (int32_t)W;
+    *out_h = (int32_t)H;
+    return (int32_t)(row_bytes * H);
+}
