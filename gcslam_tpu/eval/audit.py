@@ -62,7 +62,36 @@ def audit_run(out_dir: str) -> Dict:
             check("alpha_in_range", np.all((a >= C.ALPHA_MIN - 1e-9) & (a <= C.ALPHA_MAX + 1e-9)))
         if "power_beta" in diag:
             b = diag["power_beta"]
-            check("beta_in_range", np.all((b >= C.POWER_BETA_MIN - 1e-9) & (b <= 1.0 + 1e-9)))
+            # beta = 0 is the certified non-finite-evidence rejection
+            # (NonFiniteEvidence trigger); otherwise beta >= POWER_BETA_MIN
+            ok_b = (b >= C.POWER_BETA_MIN - 1e-9) | (b <= 1e-12)
+            check("beta_in_range", np.all(ok_b & (b <= 1.0 + 1e-9)))
+        if "ee_pose_shift_pred" in diag:
+            # ExpectedEffect audit (reference certificates.py:488): the
+            # realized recompose magnitude must track the predicted fused
+            # increment — BCH3 is a THIRD-order correction, so realized is
+            # within a small factor of predicted whenever the shift is
+            # non-trivial.
+            pred = diag["ee_pose_shift_pred"]
+            real = diag["ee_pose_shift_real"]
+            sig = pred > 1e-6
+            ratio = real[sig] / pred[sig] if np.any(sig) else np.ones(1)
+            check(
+                "expected_effect_pose_shift",
+                np.all((ratio > 0.5) & (ratio < 2.0)),
+                f"realized/predicted in [{ratio.min():.3f}, {ratio.max():.3f}]"
+                if np.any(sig) else "no significant shifts",
+            )
+        if "ee_info_gain_pred" in diag:
+            # realized info gain can't exceed the claimed alpha*tr(L_ev)
+            # by more than the PSD-projection slack
+            gp = diag["ee_info_gain_pred"]
+            gr = diag["ee_info_gain_real"]
+            check(
+                "expected_effect_info_gain",
+                np.all(gr <= gp * 1.05 + 1e-6),
+                f"max realized-predicted {np.max(gr - gp):.3e}",
+            )
         if "cert_triggers" in diag:
             all_bits = 0
             for bit in TRIGGERS.values():

@@ -6,7 +6,7 @@ single jitted scan step that design is impossible, so here:
 
   - a certificate is a flat numeric NamedTuple (`Cert`) — a pytree of 0-d
     arrays that flows through jit and stacks naturally under vmap/lax.scan;
-  - approximation triggers are a uint32 BITMASK; the name<->bit registry
+  - approximation triggers are a uint64 BITMASK; the name<->bit registry
     (`TRIGGERS`) decodes them at the boundary (diagnostics/manifest);
   - `aggregate([...])` reproduces the reference aggregation semantics
     (certificates.py:511-560): worst-case conditioning, mean support,
@@ -59,6 +59,7 @@ TRIGGER_NAMES = [
     "budgeting",
     "mass_drop",
     "merge_reduce",
+    "NonFiniteEvidence",
 ]
 TRIGGERS = {name: 1 << i for i, name in enumerate(TRIGGER_NAMES)}
 
@@ -69,11 +70,11 @@ def decode_triggers(mask: int) -> list[str]:
 
 class Cert(NamedTuple):
     """Flat numeric certificate (all fields 0-d arrays of BELIEF_DTYPE,
-    except `triggers` which is uint32)."""
+    except `triggers` which is uint64)."""
 
     exact: jnp.ndarray
     frobenius_applied: jnp.ndarray
-    triggers: jnp.ndarray  # uint32 bitmask
+    triggers: jnp.ndarray  # uint64 bitmask
     n_triggers: jnp.ndarray
     # conditioning (certificates.py:22-36)
     eig_min: jnp.ndarray
@@ -133,7 +134,7 @@ def make_cert(
     return Cert(
         exact=_s(exact),
         frobenius_applied=_s(frobenius_applied),
-        triggers=jnp.asarray(triggers, dtype=jnp.uint32),
+        triggers=jnp.asarray(triggers, dtype=jnp.uint64),
         n_triggers=_s(n_trig),
         eig_min=_s(eig_min),
         eig_max=_s(eig_max),
