@@ -22,6 +22,14 @@ D_DESKEW = 22
 # ---------------------------------------------------------------------------
 K_HYP = 4
 HYP_WEIGHT_FLOOR = 0.0025  # 0.01 / K_HYP
+# Hypothesis diversification (TPU-first redesign of the reference's K_HYP=4
+# bit-identical copies, backend_node.py:823): each hypothesis runs a distinct
+# evidence-trust profile — (power-beta scale, map-evidence scale) — and the
+# weights update every scan from the evidence fit, so the barycenter favors
+# whichever trust setting the data currently supports.
+HYP_BETA_SCALE = (1.0, 0.7, 1.0, 0.7)
+HYP_MAP_EVIDENCE_SCALE = (1.0, 1.0, 0.6, 0.6)
+HYP_WEIGHT_LL_GAIN = 0.1  # per-scan weight-update temperature on nll_per_ess
 N_POINTS_CAP = 8192
 MAX_IMU_PREINT_LEN = 512
 

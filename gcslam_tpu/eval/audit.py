@@ -64,7 +64,9 @@ def audit_run(out_dir: str) -> Dict:
             b = diag["power_beta"]
             # beta = 0 is the certified non-finite-evidence rejection
             # (NonFiniteEvidence trigger); otherwise beta >= POWER_BETA_MIN
-            ok_b = (b >= C.POWER_BETA_MIN - 1e-9) | (b <= 1e-12)
+            # scaled by the smallest hypothesis trust profile (hyp_diversify)
+            beta_lo = C.POWER_BETA_MIN * min(C.HYP_BETA_SCALE)
+            ok_b = (b >= beta_lo - 1e-9) | (b <= 1e-12)
             check("beta_in_range", np.all(ok_b & (b <= 1.0 + 1e-9)))
         if "ee_pose_shift_pred" in diag:
             # ExpectedEffect audit (reference certificates.py:488): the

@@ -31,7 +31,7 @@ def main(argv=None) -> dict:
     p.add_argument("--out", default=None)
     p.add_argument("--scans", type=int, default=160)
     p.add_argument("--points", type=int, default=8192)
-    p.add_argument("--bag", default=None, help="rosbag2 .db3 path (else synthetic)")
+    p.add_argument("--bag", default=None, help="rosbag2 .db3/.mcap path (else synthetic)")
     p.add_argument("--gt", default=None, help="ground-truth TUM file for a bag run")
     p.add_argument("--no-map", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -42,6 +42,9 @@ def main(argv=None) -> dict:
                    help="odometry pose factor mode (default: config file else absolute)")
     p.add_argument("--loop", action="store_true",
                    help="produce loop-closure factors (streaming mode)")
+    p.add_argument("--map-stream", type=int, default=0, metavar="N",
+                   help="export incremental map snapshots every N scans "
+                        "(streaming mode; the /gc/map live-view analog)")
     p.add_argument("--camera", action="store_true", default=None,
                    help="RGB-D camera + visual frontend (default: config file else off)")
     p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
@@ -55,6 +58,17 @@ def main(argv=None) -> dict:
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # Persistent compilation cache (same as bench.py): the full-budget
+    # pipeline compile is minutes on a remote TPU; never pay it twice.
+    cache_dir = os.environ.get(
+        "GCSLAM_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import numpy as np
     import gcslam_tpu  # noqa: F401
     from gcslam_tpu.models.config import PipelineConfig
@@ -148,10 +162,17 @@ def main(argv=None) -> dict:
         batches, gt_poses, gt_times = run.batches, run.gt_poses, run.gt_times
 
     t0 = time.time()
-    if args.loop:
-        from gcslam_tpu.frontend.loop import LoopDetector
+    if args.loop or args.map_stream > 0:
+        detector = None
+        if args.loop:
+            from gcslam_tpu.frontend.loop import LoopDetector
 
-        state, out = runner.run_stream(batches, cfg, loop_detector=LoopDetector())
+            detector = LoopDetector()
+        state, out = runner.run_stream(
+            batches, cfg, loop_detector=detector,
+            map_stream_dir=os.path.join(out_dir, "map_stream") if args.map_stream else None,
+            map_stream_every=max(args.map_stream, 1),
+        )
     else:
         state, out = runner.run_bag(batches, cfg)
     poses = np.asarray(out.pose)
@@ -159,10 +180,17 @@ def main(argv=None) -> dict:
     stamps = np.asarray(out.stamp)
 
     tum.write_tum(os.path.join(out_dir, "trajectory.tum"), stamps, poses)
+    from gcslam_tpu.utils.profiling import device_runtime_cert
+
     metrics = {
         "n_scans": int(poses.shape[0]),
         "wall_s_including_compile": round(wall, 2),
         "device": jax.devices()[0].platform,
+        # DeviceRuntimeCert analog (reference certificates.py:298):
+        # streaming mode syncs per scan (loop detection), scan mode once
+        "device_runtime": device_runtime_cert(
+            batches, n_host_syncs=len(batches) if args.loop else 1
+        ),
     }
     if gt_poses is not None:
         tum.write_tum(os.path.join(out_dir, "ground_truth.tum"), gt_times, gt_poses)

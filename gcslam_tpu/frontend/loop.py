@@ -38,9 +38,16 @@ class LoopConfig:
     icp_iters: int = 3
     icp_radii_m: Tuple[float, float, float] = (1.0, 0.5, 0.25)
     min_match_frac: float = 0.3
+    max_fit_rms_m: float = 0.35  # absolute post-fit residual acceptance bound
     sigma_trans_floor_m: float = 0.02
     sigma_rot_floor_rad: float = 0.01
     cooldown_scans: int = 20  # between produced factors
+    # appearance verification (scan-context-style polar height signature):
+    # geometric proximity alone fires false loops under perceptual aliasing
+    desc_azimuth_bins: int = 24
+    desc_range_rings: int = 8
+    desc_max_range_m: float = 10.0
+    min_desc_similarity: float = 0.60
 
 
 @dataclasses.dataclass
@@ -49,6 +56,35 @@ class Keyframe:
     pose: np.ndarray  # (6,) [trans, rotvec] world (estimated)
     points_body: np.ndarray  # (P, 3)
     pose_cov: np.ndarray = None  # (6,6) filter pose marginal at creation
+    descriptor: np.ndarray = None  # (n_az, n_r) polar height signature
+
+
+def scan_descriptor(points_body: np.ndarray, n_az: int = 24, n_r: int = 8,
+                    r_max: float = 10.0) -> np.ndarray:
+    """Scan-context-style polar signature: max height per (azimuth, ring)
+    cell, zero-mean per scan. Yaw changes ROTATE the azimuth axis, so
+    similarity is evaluated under circular shifts (descriptor_similarity)."""
+    p = np.asarray(points_body, dtype=np.float64)
+    if p.shape[0] == 0:
+        return np.zeros((n_az, n_r))
+    az = np.arctan2(p[:, 1], p[:, 0])  # [-pi, pi)
+    r = np.hypot(p[:, 0], p[:, 1])
+    ia = np.clip(((az + np.pi) / (2 * np.pi) * n_az).astype(int), 0, n_az - 1)
+    ir = np.clip((r / r_max * n_r).astype(int), 0, n_r - 1)
+    desc = np.full((n_az, n_r), -np.inf)
+    np.maximum.at(desc, (ia, ir), p[:, 2])
+    desc[~np.isfinite(desc)] = 0.0
+    return desc - desc.mean()
+
+
+def descriptor_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """Max cosine similarity over all azimuth (yaw) shifts."""
+    na = np.linalg.norm(a) + 1e-12
+    nb = np.linalg.norm(b) + 1e-12
+    best = -1.0
+    for s in range(a.shape[0]):
+        best = max(best, float(np.sum(np.roll(a, s, axis=0) * b)) / (na * nb))
+    return best
 
 
 def _yaw_rotvec_to_R(rv: np.ndarray) -> np.ndarray:
@@ -97,14 +133,19 @@ class LoopDetector:
         loop_cov (6,6), weight) to inject into this scan's batch, or None."""
         cfg = self.cfg
         pose_guess = np.asarray(pose_guess, dtype=np.float64)
-        cand = self._find_revisit(index, pose_guess)
-        if cand is None or index - self._last_factor_index < cfg.cooldown_scans:
+        if index - self._last_factor_index < cfg.cooldown_scans:
             return None
         cur = _subsample(
             np.asarray(points_body, dtype=np.float64),
             np.asarray(point_weights, dtype=np.float64),
             cfg.points_per_keyframe,
         )
+        desc_cur = scan_descriptor(
+            cur, cfg.desc_azimuth_bins, cfg.desc_range_rings, cfg.desc_max_range_m
+        )
+        cand = self._find_revisit(index, pose_guess, desc_cur)
+        if cand is None:
+            return None
         fit = self._register(cur, pose_guess, cand)
         if fit is not None:
             self._last_factor_index = index
@@ -130,22 +171,34 @@ class LoopDetector:
         self.keyframes.append(
             Keyframe(index=index, pose=np.asarray(pose_est, dtype=np.float64).copy(),
                      points_body=pts,
-                     pose_cov=None if pose_cov is None else np.asarray(pose_cov, dtype=np.float64))
+                     pose_cov=None if pose_cov is None else np.asarray(pose_cov, dtype=np.float64),
+                     descriptor=scan_descriptor(
+                         pts, cfg.desc_azimuth_bins, cfg.desc_range_rings,
+                         cfg.desc_max_range_m))
         )
         if len(self.keyframes) > cfg.max_keyframes:
             self.keyframes.pop(0)
 
     # ------------------------------------------------------------------
-    def _find_revisit(self, index: int, pose: np.ndarray) -> Optional[Keyframe]:
-        """OLDEST keyframe within reach: a loop target is only as good as
-        the keyframe's own pose, and the oldest qualifying keyframe was
-        created when the least drift had accumulated. (Nearest-first picks
-        recently drifted keyframes that merely confirm the current error.)"""
+    def _find_revisit(
+        self, index: int, pose: np.ndarray, desc_cur: np.ndarray = None
+    ) -> Optional[Keyframe]:
+        """OLDEST keyframe within reach whose APPEARANCE also matches: a loop
+        target is only as good as the keyframe's own pose, and the oldest
+        qualifying keyframe was created when the least drift had accumulated.
+        (Nearest-first picks recently drifted keyframes that merely confirm
+        the current error.) The descriptor check rejects perceptual-aliasing
+        candidates — geometrically near but structurally different scenes."""
         for kf in self.keyframes:  # stored in creation order
             if index - kf.index < self.cfg.min_index_gap:
                 continue
-            if float(np.linalg.norm(pose[:2] - kf.pose[:2])) < self.cfg.max_revisit_dist_m:
-                return kf
+            if float(np.linalg.norm(pose[:2] - kf.pose[:2])) >= self.cfg.max_revisit_dist_m:
+                continue
+            if (desc_cur is not None and kf.descriptor is not None
+                    and descriptor_similarity(desc_cur, kf.descriptor)
+                    < self.cfg.min_desc_similarity):
+                continue
+            return kf
         return None
 
     def _register(
@@ -185,7 +238,7 @@ class LoopDetector:
             src = a @ R_rel.T + t_rel[None, :]
             rms = float(np.sqrt(((src - b) ** 2).sum(-1).mean()))
 
-        if match_frac < cfg.min_match_frac:
+        if match_frac < cfg.min_match_frac or rms > cfg.max_fit_rms_m:
             return None
         # absolute target pose: kf_pose ∘ T_rel
         t_abs = kf.pose[:3] + R_k @ t_rel

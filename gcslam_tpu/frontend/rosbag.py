@@ -133,7 +133,12 @@ def _quat_to_rotvec(q: np.ndarray) -> np.ndarray:
 
 
 def read_bag_messages(db_path: str) -> Dict[str, List[Tuple[float, bytes]]]:
-    """topic -> [(bag_time_sec, raw_cdr)] sorted by time."""
+    """topic -> [(bag_time_sec, raw_cdr)] sorted by time. Dispatches on the
+    container: rosbag2 sqlite (.db3) or MCAP (.mcap)."""
+    if db_path.endswith(".mcap"):
+        from gcslam_tpu.frontend.mcap import read_mcap_messages
+
+        return read_mcap_messages(db_path)
     conn = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
     topics = {tid: (name, typ) for tid, name, typ in conn.execute(
         "SELECT id, name, type FROM topics")}

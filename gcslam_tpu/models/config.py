@@ -125,6 +125,12 @@ class PipelineConfig:
     # Camera
     with_camera: bool = False
 
+    # Hypothesis diversification: run K_HYP distinct evidence-trust profiles
+    # (constants.HYP_BETA_SCALE / HYP_MAP_EVIDENCE_SCALE) with per-scan
+    # weight updates from evidence fit. False = reference parity (identical
+    # hypotheses, static weights).
+    hyp_diversify: bool = True
+
     def validate(self) -> None:
         """Param-registry fail-fast (the reference's PARAM_SPECS + budget
         check, backend_node.py:121-245,548-586): hard budgets must match the

@@ -37,6 +37,8 @@ def run_stream(
     config: PipelineConfig,
     state: StepState | None = None,
     loop_detector=None,
+    map_stream_dir: str | None = None,
+    map_stream_every: int = 20,
 ) -> Tuple[StepState, StepOutput]:
     """Host streaming loop over the jitted step; returns final state and
     stacked outputs (poses/tape gathered on device, one transfer at the end).
@@ -46,12 +48,24 @@ def run_stream(
     mode — run_bag's single lax.scan cannot take host feedback), factors are
     injected into the batch's loop channel and consumed by the always-compiled
     in-graph loop evidence (weight 0 when absent), so enabling loops causes
-    NO recompilation."""
+    NO recompilation.
+
+    `map_stream_dir` enables the incremental map stream — the offline
+    replacement for the reference's live /gc/map publisher
+    (backend/map_publisher.py:90): every `map_stream_every` scans the atlas
+    is exported as a splat snapshot `map_NNNNNN.npz` plus an index line in
+    `map_stream.jsonl` (scan index, stamp, splat count, file)."""
     import numpy as np
 
     config.validate()
     if state is None:
         state = init_state(config)
+    stream_idx_f = None
+    if map_stream_dir is not None and config.with_map:
+        import os
+
+        os.makedirs(map_stream_dir, exist_ok=True)
+        stream_idx_f = open(f"{map_stream_dir}/map_stream.jsonl", "w")
     outs = []
     pose_prev = np.zeros(6)
     for i, batch in enumerate(batches):
@@ -82,6 +96,20 @@ def run_stream(
                 i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights),
                 pose_cov,
             )
+        if stream_idx_f is not None and (i % map_stream_every == 0 or i == len(batches) - 1):
+            import json
+
+            from gcslam_tpu.outputs.splat_export import save_splat_export
+
+            snap = f"{map_stream_dir}/map_{i:06d}.npz"
+            n_splats = save_splat_export(snap, state.atlas)
+            stream_idx_f.write(json.dumps({
+                "scan": i, "stamp": float(out.stamp), "n_splats": n_splats,
+                "file": snap.rsplit("/", 1)[-1],
+            }) + "\n")
+            stream_idx_f.flush()
+    if stream_idx_f is not None:
+        stream_idx_f.close()
     stacked = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *outs)
     return state, stacked
 

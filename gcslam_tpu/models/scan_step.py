@@ -149,6 +149,8 @@ def _hypothesis_step(
     map_evidence_fn,
     config: PipelineConfig,
     inputs_finite: jnp.ndarray = None,
+    beta_scale: jnp.ndarray = None,
+    map_scale: jnp.ndarray = None,
 ) -> HypOutputs:
     """Steps 2-14 for one hypothesis (vmapped by the caller).
 
@@ -442,8 +444,9 @@ def _hypothesis_step(
         )
         z_map_22d = z_lin_22d.at[C.IDX_POSE].set(z_map_chart)
     h_lidar = h_lidar + L_lidar @ z_map_22d
-    L_lidar = cfg.map_evidence_scale * L_lidar
-    h_lidar = cfg.map_evidence_scale * h_lidar
+    ms = cfg.map_evidence_scale if map_scale is None else cfg.map_evidence_scale * map_scale
+    L_lidar = ms * L_lidar
+    h_lidar = ms * h_lidar
     all_certs.extend(map_certs)
 
     # --- Step 9: power tempering ----------------------------------------
@@ -481,6 +484,8 @@ def _hypothesis_step(
         cfg.power_beta_min, cfg.power_beta_exc_c, cfg.power_beta_z_c, cfg.eps_mass,
     )
     all_certs.append(temper_cert)
+    if beta_scale is not None:
+        beta = beta * beta_scale  # per-hypothesis evidence-trust profile
     beta = beta * ev_finite  # prior-only when evidence was non-finite
     L_evidence = beta * L_ev_raw
     h_evidence = beta * h_ev_raw
@@ -633,20 +638,39 @@ def scan_step(
     else:
         map_fn = _zero_map_evidence
 
-    hyp_fn = lambda b: _hypothesis_step(
-        b, batch, Q, Sigma_g, Sigma_a, map_fn, cfg, inputs_finite=batch_finite
+    if cfg.hyp_diversify and cfg.k_hyp == len(C.HYP_BETA_SCALE):
+        beta_scales = jnp.asarray(C.HYP_BETA_SCALE, dtype=BELIEF_DTYPE)
+        map_scales = jnp.asarray(C.HYP_MAP_EVIDENCE_SCALE, dtype=BELIEF_DTYPE)
+    else:
+        beta_scales = jnp.ones((cfg.k_hyp,), dtype=BELIEF_DTYPE)
+        map_scales = jnp.ones((cfg.k_hyp,), dtype=BELIEF_DTYPE)
+    hyp_fn = lambda b, bs, ms: _hypothesis_step(
+        b, batch, Q, Sigma_g, Sigma_a, map_fn, cfg,
+        inputs_finite=batch_finite, beta_scale=bs, map_scale=ms,
     )
-    hyp_out = jax.vmap(hyp_fn)(state.beliefs)
+    hyp_out = jax.vmap(hyp_fn)(state.beliefs, beta_scales, map_scales)
+
+    # Per-scan weight update from evidence fit (soft Bayes factor on the
+    # mismatch statistic), floored + renormalized. With hyp_diversify off
+    # the hypotheses are identical, nll ties, and weights stay put —
+    # reference parity (weights never updated, backend_node.py:823).
+    if cfg.hyp_diversify:
+        ll = -C.HYP_WEIGHT_LL_GAIN * hyp_out.cert_agg.nll_per_ess
+        w_upd = state.hyp_weights * jnp.exp(ll - jnp.max(ll))
+        w_upd = jnp.maximum(w_upd / jnp.sum(w_upd), C.HYP_WEIGHT_FLOOR)
+        hyp_weights = w_upd / jnp.sum(w_upd)
+    else:
+        hyp_weights = state.hyp_weights
 
     # Hypothesis barycenter -> published belief
     bary, bary_cert = hypothesis_barycenter(
-        hyp_out.belief, state.hyp_weights, C.HYP_WEIGHT_FLOOR, cfg.eps_psd, cfg.eps_lift
+        hyp_out.belief, hyp_weights, C.HYP_WEIGHT_FLOOR, cfg.eps_psd, cfg.eps_lift
     )
     pose = world_pose(bary.belief, cfg.eps_lift)
 
     # IW apply once per scan, hypothesis-weight-averaged suffstats
     # (backend_node.py:2093-2119); process weight 0 at scan 0.
-    w = state.hyp_weights / jnp.sum(state.hyp_weights)
+    w = hyp_weights / jnp.sum(hyp_weights)
     dPsi_proc = jnp.einsum("k,kbij->bij", w, hyp_out.dPsi_proc)
     dnu_proc = jnp.einsum("k,kb->b", w, hyp_out.dnu_proc)
     dPsi_meas = jnp.einsum("k,kbij->bij", w, hyp_out.dPsi_meas)
@@ -729,7 +753,7 @@ def scan_step(
 
     state_new = StepState(
         beliefs=hyp_out.belief,
-        hyp_weights=state.hyp_weights,
+        hyp_weights=hyp_weights,
         process_iw=process_iw,
         meas_iw=meas_iw,
         atlas=atlas_new,

@@ -58,6 +58,23 @@ def compile_count() -> int:
         return -1
 
 
+def device_runtime_cert(batches, n_host_syncs: int = 1) -> dict:
+    """Numeric DeviceRuntimeCert (reference certificates.py:298-316 +
+    common/runtime_counters.py): host->device bytes actually shipped this
+    run, host-sync count, and the jit-cache size (recompile proxy — a
+    stable pipeline compiles each config exactly once)."""
+    h2d = 0
+    for b in batches:
+        for leaf in jax.tree_util.tree_leaves(b):
+            h2d += getattr(leaf, "nbytes", 0)
+    return {
+        "h2d_bytes": int(h2d),
+        "n_batches": len(batches),
+        "host_syncs": int(n_host_syncs),
+        "jit_cache_entries": compile_count(),
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context (view with xprof/tensorboard)."""

@@ -71,3 +71,28 @@ def test_audit_on_eval_run(tmp_path):
     eval_run.main(["--cpu", "--scans", "8", "--points", "512", "--out", out])
     res = audit_run(out)
     assert res["all_pass"], json.dumps(res, indent=2)
+
+
+def test_incremental_map_stream(tmp_path):
+    """Streaming mode exports periodic atlas snapshots + an index — the
+    offline analog of the reference's live /gc/map publisher
+    (backend/map_publisher.py:90)."""
+    import json
+
+    import numpy as np
+
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+    from gcslam_tpu.models import runner
+    from gcslam_tpu.models.config import PipelineConfig
+
+    run = generate(SyntheticConfig(n_scans=7, n_points=256))
+    cfg = PipelineConfig(with_map=True, atlas_max_tiles=8, m_tile=64,
+                         m_tile_view=32, n_surfel=64, surfel_voxel_size_m=0.5)
+    d = str(tmp_path / "stream")
+    state, out = runner.run_stream(run.batches, cfg, map_stream_dir=d,
+                                   map_stream_every=3)
+    lines = [json.loads(l) for l in open(f"{d}/map_stream.jsonl")]
+    assert [e["scan"] for e in lines] == [0, 3, 6]
+    last = np.load(f"{d}/{lines[-1]['file']}")
+    assert lines[-1]["n_splats"] > 0
+    assert last["mu_world"].shape[0] == lines[-1]["n_splats"]

@@ -145,3 +145,23 @@ def test_unobserved_block_iw_stays_bounded():
                max(float(np.asarray(state.process_iw.nu[5])) - 2, 0.1))
     # dt block is unobserved: its IW mean must stay within 10x of the prior
     assert q1 < 10 * q0, (q0, q1)
+
+
+def test_hypothesis_diversification(small_run):
+    """hyp_diversify runs distinct evidence-trust profiles: beliefs separate,
+    weights move toward the best-fitting profile; with it off, hypotheses
+    stay bit-identical (reference parity)."""
+    cfg_on = PipelineConfig(**SMALL, hyp_diversify=True)
+    cfg_off = PipelineConfig(**SMALL, hyp_diversify=False)
+    s_on, _ = runner.run_bag(small_run.batches, cfg_on)
+    s_off, _ = runner.run_bag(small_run.batches, cfg_off)
+    L_on = np.asarray(s_on.beliefs.L)
+    L_off = np.asarray(s_off.beliefs.L)
+    # off: all hypotheses identical
+    assert np.allclose(L_off[0], L_off[1]) and np.allclose(L_off[0], L_off[3])
+    # on: trust profiles separate the posteriors
+    assert not np.allclose(L_on[0], L_on[1])
+    w = np.asarray(s_on.hyp_weights)
+    assert abs(w.sum() - 1.0) < 1e-9 and w.min() >= 0
+    # weights moved off the uniform prior
+    assert np.abs(w - 0.25).max() > 1e-4
