@@ -36,6 +36,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "run") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(n_run: int, n_hyp: int) -> Mesh:
+    """2-D mesh ("run", "hyp"): data-parallel replays x model-parallel
+    hypotheses. The K_HYP axis of the belief stack shards over "hyp"; the
+    cross-hypothesis reductions (weight normalization, barycenter einsum,
+    IW suffstat averaging) become XLA all-reduces over the hyp axis of the
+    mesh — laid out on ICI next to the run axis. n_hyp must divide K_HYP."""
+    devs = jax.devices()[: n_run * n_hyp]
+    if len(devs) < n_run * n_hyp:
+        raise ValueError(f"need {n_run * n_hyp} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs).reshape(n_run, n_hyp), ("run", "hyp"))
+
+
 def batched_init_state(config: PipelineConfig, n_runs: int) -> StepState:
     """Stack n_runs independent initial states along a leading run axis."""
     s0 = init_state(config)
@@ -53,8 +65,19 @@ def sweep_step(states: StepState, batches: ScanBatch, config: PipelineConfig):
 
 
 def shard_states(states: StepState, mesh: Mesh, axis: str = "run") -> StepState:
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), states)
+    """1-D run sharding; on a 2-D ("run", "hyp") mesh the hypothesis axis of
+    the belief stack (and hyp_weights) additionally shards over "hyp"."""
+    run = NamedSharding(mesh, P(axis))
+    if "hyp" in mesh.axis_names:
+        run_hyp = NamedSharding(mesh, P(axis, "hyp"))
+        beliefs = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, run_hyp), states.beliefs
+        )
+        hyp_w = jax.device_put(states.hyp_weights, run_hyp)
+        rest = states._replace(beliefs=None, hyp_weights=None)
+        rest = jax.tree_util.tree_map(lambda x: jax.device_put(x, run), rest)
+        return rest._replace(beliefs=beliefs, hyp_weights=hyp_w)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, run), states)
 
 
 def shard_batches(batches: ScanBatch, mesh: Mesh, axis: str = "run") -> ScanBatch:

@@ -57,3 +57,36 @@ def test_sweep_matches_single_and_shards():
     # aggregates are finite and spread is positive
     assert np.isfinite(float(agg["pose_spread"]))
     assert float(agg["pose_spread"]) > 0
+
+
+def test_sweep_2d_run_hyp_mesh_matches():
+    """("run", "hyp") mesh: hypothesis axis sharded over devices. The
+    cross-hyp reductions (barycenter, weight renorm, IW averaging) become
+    collectives over the hyp mesh axis; results must match the 1-D run."""
+    from gcslam_tpu import constants as C
+
+    n_runs, n_hyp = 2, 4
+    assert C.K_HYP % n_hyp == 0
+    cfg = PipelineConfig(with_map=False, hyp_diversify=True)
+    batches = _runs(n_runs, n_scans=4)
+
+    def advance(states, mesh):
+        poses = []
+        n_scans = int(np.asarray(batches.t_scan).shape[1])
+        for k in range(n_scans):
+            bk = jax.tree_util.tree_map(lambda x: x[:, k], batches)
+            bk = sweep.shard_batches(bk, mesh)
+            states, outs, _ = sweep.sweep_step(states, bk, cfg)
+            poses.append(np.asarray(outs.pose))
+        return np.stack(poses, axis=1)
+
+    mesh2 = sweep.make_mesh_2d(n_runs, n_hyp)
+    s2 = sweep.shard_states(sweep.batched_init_state(cfg, n_runs), mesh2)
+    poses2 = advance(s2, mesh2)
+
+    mesh1 = sweep.make_mesh(n_runs)
+    s1 = sweep.shard_states(sweep.batched_init_state(cfg, n_runs), mesh1)
+    poses1 = advance(s1, mesh1)
+
+    assert np.all(np.isfinite(poses2))
+    assert np.allclose(poses2, poses1, atol=1e-8), np.abs(poses2 - poses1).max()
