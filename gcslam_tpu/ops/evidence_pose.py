@@ -187,8 +187,8 @@ def primitive_pose_evidence(
     delta_star, _ = linalg.spd_solve_lifted(
         linalg.sym(L6) + cfg.eps_lift * jnp.eye(6, dtype=f), h6, cfg.eps_lift
     )
-    eig_t = jnp.linalg.eigvalsh(linalg.sym(L6[0:3, 0:3]))
-    eig_r = jnp.linalg.eigvalsh(linalg.sym(L6[3:6, 3:6]))
+    eig_t, _ = linalg.eigh_3x3(linalg.sym(L6[0:3, 0:3]))
+    eig_r, _ = linalg.eigh_3x3(linalg.sym(L6[3:6, 3:6]))
     cap_t = 1.0 / (cfg.pose_scan_sigma_floor_m**2)
     cap_r = 1.0 / (cfg.pose_scan_sigma_floor_rad**2)
     s_t = jnp.minimum(1.0, cap_t / jnp.maximum(eig_t[-1], cfg.eps_lift))

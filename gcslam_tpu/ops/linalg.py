@@ -36,7 +36,13 @@ def domain_projection_psd(
     """Symmetrize + eigh + eigenvalue floor + reconstruct. Always applied."""
     M_sym = sym(M)
     sym_delta = jnp.linalg.norm(M_sym - M, axis=(-2, -1))
-    eigvals, eigvecs = jnp.linalg.eigh(M_sym)
+    # 3x3 blocks (most call sites: evidence factors, IW suffstats) use the
+    # analytic Jacobi kernel — XLA's general eigh expansion at every call
+    # site was the single largest TPU compile cost (see eigh_3x3).
+    if M.shape[-1] == 3:
+        eigvals, eigvecs = eigh_3x3(M_sym)
+    else:
+        eigvals, eigvecs = jnp.linalg.eigh(M_sym)
     vals = jnp.maximum(eigvals, eps_psd)
     M_psd = jnp.einsum("...ik,...k,...jk->...ij", eigvecs, vals, eigvecs)
     projection_delta = jnp.linalg.norm(M_psd - M_sym, axis=(-2, -1))
@@ -53,6 +59,20 @@ def domain_projection_psd(
     return M_psd, cert
 
 
+def _lift_eps(L: jnp.ndarray, eps_lift: float) -> jnp.ndarray:
+    """Effective Cholesky ridge: eps_lift plus a RELATIVE floor scaled by the
+    matrix magnitude and the dtype's machine epsilon. A nominally-PSD matrix
+    carries roundoff-negative eigenvalues of order eps_mach * ||L||; in
+    f32-belief mode an absolute 1e-9 lift cannot cover them and cholesky
+    returns NaN (observed on the near-zero coarse-round map factor). The
+    relative term is ~1e-14 * ||L|| in f64 — far below eps_lift's effect."""
+    diag_scale = jnp.max(
+        jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    rel = 32.0 * jnp.finfo(L.dtype).eps * diag_scale
+    return (eps_lift + rel)[..., None, None] if rel.ndim else eps_lift + rel
+
+
 def spd_solve_lifted(
     L: jnp.ndarray, b: jnp.ndarray, eps_lift: float = C.EPS_LIFT
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -61,7 +81,10 @@ def spd_solve_lifted(
     Lift is ALWAYS applied (reference common/primitives.py:141-166).
     """
     d = L.shape[-1]
-    L_lifted = L + eps_lift * jnp.eye(d, dtype=L.dtype)
+    if d == 3 and b.ndim == L.ndim - 1:
+        # closed-form adjugate solve: compile-trivial vs a Cholesky expansion
+        return solve3x3(L, b, eps=eps_lift), jnp.asarray(eps_lift * d, dtype=L.dtype)
+    L_lifted = L + _lift_eps(L, eps_lift) * jnp.eye(d, dtype=L.dtype)
     chol = jnp.linalg.cholesky(L_lifted)
     b_vec = b[..., None] if b.ndim == L.ndim - 1 else b
     y = jax.scipy.linalg.solve_triangular(chol, b_vec, lower=True)
@@ -74,9 +97,12 @@ def spd_solve_lifted(
 def spd_inverse_lifted(
     L: jnp.ndarray, eps_lift: float = C.EPS_LIFT
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(L + eps I)^{-1} via Cholesky; returns (L_inv, lift_strength)."""
+    """(L + eps I)^{-1} via Cholesky; returns (L_inv, lift_strength).
+    3x3 blocks use the closed-form adjugate inverse (symmetrized)."""
     d = L.shape[-1]
-    L_lifted = L + eps_lift * jnp.eye(d, dtype=L.dtype)
+    if d == 3:
+        return sym(inv3x3(L, eps=eps_lift)), jnp.asarray(eps_lift * d, dtype=L.dtype)
+    L_lifted = L + _lift_eps(L, eps_lift) * jnp.eye(d, dtype=L.dtype)
     chol = jnp.linalg.cholesky(L_lifted)
     eye = jnp.broadcast_to(jnp.eye(d, dtype=L.dtype), L.shape)
     chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
@@ -103,14 +129,66 @@ def safe_normalize(v: jnp.ndarray, eps: float = C.EPS_MASS) -> Tuple[jnp.ndarray
     return v / denom, (eps / denom)[..., 0]
 
 
-def eigh_3x3(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched symmetric 3x3 eigendecomposition.
+def _jacobi_rot_3x3(A: jnp.ndarray, V: jnp.ndarray, p: int, q: int):
+    """One batched Jacobi rotation zeroing A[..., p, q] (static p < q).
 
-    Thin wrapper over jnp.linalg.eigh today; kept as a seam so the surfel
-    plane-fit hot loop (8192 cells/scan) can swap in an analytic Cardano
-    kernel or a Pallas kernel without touching callers.
-    """
-    return jnp.linalg.eigh(M)
+    Fully algebraic (sqrt/divide only — no atan2/sin/cos, which are only
+    f32-accurate under TPU f64 emulation)."""
+    app = A[..., p, p]
+    aqq = A[..., q, q]
+    apq = A[..., p, q]
+    # guard |apq| ~ 0: rotation degenerates to identity. The threshold is
+    # RELATIVE (entries are pre-normalized to O(1) by eigh_3x3) and floored
+    # well above the f32 subnormal range so tau = (aqq-app)/(2 apq) cannot
+    # overflow in f32-belief mode.
+    small = jnp.abs(apq) <= 1e-24 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
+    denom = jnp.where(small, 1.0, 2.0 * apq)
+    tau = (aqq - app) / denom
+    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(small, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    J = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    J = J.at[..., p, p].set(c).at[..., q, q].set(c)
+    J = J.at[..., p, q].set(s).at[..., q, p].set(-s)
+    A_new = sym(jnp.swapaxes(J, -1, -2) @ A @ J)
+    V_new = V @ J
+    return A_new, V_new
+
+
+def eigh_3x3(M: jnp.ndarray, n_sweeps: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched symmetric 3x3 eigendecomposition via statically-unrolled
+    cyclic Jacobi (ascending eigenvalues, like jnp.linalg.eigh).
+
+    XLA's general eigh lowers to a large per-instance subgraph (Jacobi/QDWH
+    machinery) that dominated TPU compile time at ~30 call sites; this
+    analytic kernel is ~18 fused VPU steps — compile-trivial, batch-friendly
+    (the surfel plane fit runs it on 8192 cells/scan), and f64-exact on TPU
+    (no transcendentals). 6 sweeps converge 3x3 to ~1e-15 relative."""
+    A = sym(M)
+    # Scale-normalize: Jacobi is scale-invariant, and O(1) entries keep the
+    # rotation algebra inside the f32 exponent range (scatter matrices can
+    # reach ~1e18 in f32-belief mode, where tau would overflow to inf-inf).
+    scale = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+    scale_safe = jnp.where(scale > 0.0, scale, 1.0)
+    A = A / scale_safe
+    V = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), M.shape)
+
+    def sweep(_, AV):
+        A, V = AV
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            A, V = _jacobi_rot_3x3(A, V, p, q)
+        return A, V
+
+    # fori_loop keeps the HLO at ONE sweep body (compile cost), while the
+    # trip count stays a cheap runtime loop.
+    A, V = jax.lax.fori_loop(0, n_sweeps, sweep, (A, V))
+    lam = jnp.diagonal(A, axis1=-2, axis2=-1) * scale_safe[..., 0]
+    order = jnp.argsort(lam, axis=-1)
+    lam_sorted = jnp.take_along_axis(lam, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return lam_sorted, V_sorted
 
 
 def softplus_positive(x: jnp.ndarray, eps: float = 1e-12, beta: float = 50.0) -> jnp.ndarray:
@@ -188,7 +266,7 @@ def rotation_from_scatter(S: jnp.ndarray):
       V: (3, 3) right singular vectors (det +1)
     """
     B = sym(jnp.swapaxes(S, -1, -2) @ S)
-    lam, V = jnp.linalg.eigh(B)  # ascending
+    lam, V = eigh_3x3(B)  # ascending
     # descending order
     lam = lam[..., ::-1]
     V = V[..., :, ::-1]

@@ -105,3 +105,34 @@ def test_smooth_interval_project():
     out = np.asarray(linalg.smooth_interval_project(x, lo, 1000.0))
     assert np.all(out >= 4.5)
     assert np.all(out <= 1000.0)
+
+
+def test_eigh_3x3_jacobi_matches_lapack():
+    """Analytic Jacobi eigh_3x3 vs numpy LAPACK on random, degenerate,
+    rank-deficient, and batched symmetric matrices."""
+    import numpy as np
+    from gcslam_tpu.ops import linalg
+    from gcslam_tpu.utils.xla import jnp
+
+    rng = np.random.default_rng(0)
+    mats = []
+    for _ in range(50):
+        A = rng.normal(size=(3, 3))
+        mats.append(A @ A.T)                        # SPD
+    mats.append(np.eye(3))                          # fully degenerate
+    mats.append(np.diag([2.0, 2.0, 1.0]))           # repeated eigenvalue
+    mats.append(np.zeros((3, 3)))                   # zero
+    v = rng.normal(size=3)
+    mats.append(np.outer(v, v))                     # rank-1
+    mats.append(np.diag([1e-12, 1.0, 1e12]))        # wide spectrum
+    M = np.stack(mats)
+
+    lam, V = linalg.eigh_3x3(jnp.asarray(M))
+    lam, V = np.asarray(lam), np.asarray(V)
+    lam_ref = np.linalg.eigvalsh(M)
+    assert np.allclose(lam, lam_ref, rtol=1e-10, atol=1e-10), np.abs(lam - lam_ref).max()
+    # reconstruction + orthonormality
+    rec = np.einsum("bik,bk,bjk->bij", V, lam, V)
+    assert np.allclose(rec, M, rtol=1e-9, atol=1e-9)
+    VtV = np.einsum("bki,bkj->bij", V, V)
+    assert np.allclose(VtV, np.eye(3)[None], atol=1e-12)
