@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 from gcslam_tpu.frontend import cdr
 from gcslam_tpu.frontend.time_alignment import TopicAlignment
@@ -505,11 +505,11 @@ def load_bag(
         batches.append(
             ScanBatch(
                 points=jnp.asarray(p, dtype=POINT_DTYPE),
-                point_stamps=jnp.asarray(pt, dtype=f),
+                point_stamps=jnp.asarray(pt, dtype=TIME_DTYPE),
                 point_weights=jnp.asarray(pw, dtype=POINT_DTYPE),
                 point_ring=jnp.asarray(pr),
                 point_tag=jnp.asarray(pg),
-                imu_stamps=jnp.asarray(istk, dtype=f),
+                imu_stamps=jnp.asarray(istk, dtype=TIME_DTYPE),
                 imu_gyro=jnp.asarray(gyro, dtype=f),
                 imu_accel=jnp.asarray(accel, dtype=f),
                 odom_pose=jnp.asarray(odom_pose, dtype=f),
@@ -527,10 +527,10 @@ def load_bag(
                 loop_pose=jnp.zeros((6,), dtype=f),
                 loop_cov=1e12 * jnp.eye(6, dtype=f),
                 loop_weight=jnp.zeros((), dtype=f),
-                scan_start_time=jnp.asarray(scan_start, dtype=f),
-                scan_end_time=jnp.asarray(scan_end, dtype=f),
-                t_scan=jnp.asarray(t_scan, dtype=f),
-                t_last_scan=jnp.asarray(t_last_scan, dtype=f),
+                scan_start_time=jnp.asarray(scan_start, dtype=TIME_DTYPE),
+                scan_end_time=jnp.asarray(scan_end, dtype=TIME_DTYPE),
+                t_scan=jnp.asarray(t_scan, dtype=TIME_DTYPE),
+                t_last_scan=jnp.asarray(t_last_scan, dtype=TIME_DTYPE),
                 dt_sec=jnp.asarray(max(t_scan - t_last_scan, 1e-3), dtype=f),
                 scan_seq=jnp.asarray(k, dtype=jnp.int32),
             )

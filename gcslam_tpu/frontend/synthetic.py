@@ -16,7 +16,7 @@ from typing import List, NamedTuple, Tuple
 
 import numpy as np
 
-from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 from gcslam_tpu.models.scan_io import ScanBatch, range_weights
 
@@ -35,6 +35,10 @@ class SyntheticConfig:
     # geometry loop closures exist for; size n_scans accordingly).
     trajectory: str = "ramp"
     circuit_radius_m: float = 2.5
+    # Clock origin for all emitted stamps (epoch seconds). Real bags carry
+    # ~1.7e9 s stamps; setting this exercises the TIME_DTYPE (f64 stamps /
+    # f32-safe deltas) contract.
+    t0: float = 0.0
     seed: int = 0
     # Sensor noise (vibration-level accel noise typical of a ground robot;
     # the measurement-IW states adapt to whatever these are)
@@ -389,11 +393,11 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         batches.append(
             ScanBatch(
                 points=jnp.asarray(p_body, dtype=POINT_DTYPE),
-                point_stamps=jnp.asarray(pt_times, dtype=f),
+                point_stamps=jnp.asarray(pt_times + cfg.t0, dtype=TIME_DTYPE),
                 point_weights=jnp.asarray(weights, dtype=POINT_DTYPE),
                 point_ring=jnp.zeros((cfg.n_points,), dtype=jnp.int32),
                 point_tag=jnp.zeros((cfg.n_points,), dtype=jnp.int32),
-                imu_stamps=jnp.asarray(imu_stamps, dtype=f),
+                imu_stamps=jnp.asarray(imu_stamps + cfg.t0, dtype=TIME_DTYPE),
                 imu_gyro=jnp.asarray(imu_gyro, dtype=f),
                 imu_accel=jnp.asarray(imu_accel, dtype=f),
                 odom_pose=jnp.asarray(odom_pose, dtype=f),
@@ -411,10 +415,10 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
                 loop_pose=jnp.zeros((6,), dtype=f),
                 loop_cov=1e12 * jnp.eye(6, dtype=f),
                 loop_weight=jnp.zeros((), dtype=f),
-                scan_start_time=jnp.asarray(scan_start, dtype=f),
-                scan_end_time=jnp.asarray(scan_end, dtype=f),
-                t_scan=jnp.asarray(t_scan, dtype=f),
-                t_last_scan=jnp.asarray(t_last_scan, dtype=f),
+                scan_start_time=jnp.asarray(scan_start + cfg.t0, dtype=TIME_DTYPE),
+                scan_end_time=jnp.asarray(scan_end + cfg.t0, dtype=TIME_DTYPE),
+                t_scan=jnp.asarray(t_scan + cfg.t0, dtype=TIME_DTYPE),
+                t_last_scan=jnp.asarray(t_last_scan + cfg.t0, dtype=TIME_DTYPE),
                 dt_sec=jnp.asarray(t_scan - t_last_scan, dtype=f),
                 scan_seq=jnp.asarray(k, dtype=jnp.int32),
             )

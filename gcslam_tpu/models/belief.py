@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 from gcslam_tpu.ops import linalg, se3
 
@@ -24,7 +24,7 @@ class Belief(NamedTuple):
     z_lin: jnp.ndarray  # (..., 22) linearization point in chart coords
     L: jnp.ndarray  # (..., 22, 22) information matrix (PSD)
     h: jnp.ndarray  # (..., 22) information vector
-    stamp: jnp.ndarray  # (...,) seconds
+    stamp: jnp.ndarray  # (...,) seconds (TIME_DTYPE: absolute epoch)
 
 
 def identity_prior(stamp: float = 0.0) -> Belief:
@@ -60,7 +60,7 @@ def identity_prior(stamp: float = 0.0) -> Belief:
         z_lin=jnp.zeros(C.D_Z, dtype=BELIEF_DTYPE),
         L=jnp.diag(1.0 / var),
         h=jnp.zeros(C.D_Z, dtype=BELIEF_DTYPE),
-        stamp=jnp.asarray(stamp, dtype=BELIEF_DTYPE),
+        stamp=jnp.asarray(stamp, dtype=TIME_DTYPE),
     )
 
 
@@ -81,7 +81,7 @@ def from_moments(
         z_lin=jnp.asarray(mean, dtype=BELIEF_DTYPE),
         L=L_psd,
         h=L_psd @ mean,
-        stamp=jnp.asarray(stamp, dtype=BELIEF_DTYPE),
+        stamp=jnp.asarray(stamp, dtype=TIME_DTYPE),
     )
 
 

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu.utils.xla import jnp, BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 
 
@@ -30,7 +30,7 @@ class ScanBatch(NamedTuple):
     point_ring: jnp.ndarray  # (N_POINTS_CAP,) int32
     point_tag: jnp.ndarray  # (N_POINTS_CAP,) int32
 
-    # IMU window (BELIEF_DTYPE; zero-padded stamps mark invalid samples)
+    # IMU window (stamps TIME_DTYPE f64; zero-padded stamps mark invalid)
     imu_stamps: jnp.ndarray  # (MAX_IMU_PREINT_LEN,)
     imu_gyro: jnp.ndarray  # (MAX_IMU_PREINT_LEN, 3)
     imu_accel: jnp.ndarray  # (MAX_IMU_PREINT_LEN, 3)
@@ -62,7 +62,8 @@ class ScanBatch(NamedTuple):
     loop_cov: jnp.ndarray  # (6, 6)
     loop_weight: jnp.ndarray  # () continuous validity in [0, 1]
 
-    # Scan clock
+    # Scan clock (absolute stamps TIME_DTYPE f64; dt_sec is a small
+    # difference and lives in BELIEF_DTYPE)
     scan_start_time: jnp.ndarray  # ()
     scan_end_time: jnp.ndarray  # ()
     t_scan: jnp.ndarray  # ()
@@ -79,13 +80,14 @@ def empty_scan_batch(
     """All-zero batch: one zero-weight dummy scan (graceful-degradation shape,
     reference backend_node.py:1700-1707)."""
     f = BELIEF_DTYPE
+    t = TIME_DTYPE
     return ScanBatch(
         points=jnp.zeros((n_points, 3), dtype=POINT_DTYPE),
-        point_stamps=jnp.zeros((n_points,), dtype=f),
+        point_stamps=jnp.zeros((n_points,), dtype=t),
         point_weights=jnp.zeros((n_points,), dtype=POINT_DTYPE),
         point_ring=jnp.zeros((n_points,), dtype=jnp.int32),
         point_tag=jnp.zeros((n_points,), dtype=jnp.int32),
-        imu_stamps=jnp.zeros((n_imu,), dtype=f),
+        imu_stamps=jnp.zeros((n_imu,), dtype=t),
         imu_gyro=jnp.zeros((n_imu, 3), dtype=f),
         imu_accel=jnp.zeros((n_imu, 3), dtype=f),
         odom_pose=jnp.zeros((6,), dtype=f),
@@ -103,10 +105,10 @@ def empty_scan_batch(
         loop_pose=jnp.zeros((6,), dtype=f),
         loop_cov=1e12 * jnp.eye(6, dtype=f),
         loop_weight=jnp.zeros((), dtype=f),
-        scan_start_time=jnp.zeros((), dtype=f),
-        scan_end_time=jnp.zeros((), dtype=f),
-        t_scan=jnp.zeros((), dtype=f),
-        t_last_scan=jnp.zeros((), dtype=f),
+        scan_start_time=jnp.zeros((), dtype=t),
+        scan_end_time=jnp.zeros((), dtype=t),
+        t_scan=jnp.zeros((), dtype=t),
+        t_last_scan=jnp.zeros((), dtype=t),
         dt_sec=jnp.zeros((), dtype=f),
         scan_seq=jnp.zeros((), dtype=jnp.int32),
     )

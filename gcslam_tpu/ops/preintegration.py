@@ -55,9 +55,13 @@ def preintegrate(
     dtype = imu_gyro.dtype
     stamps = imu_stamps
     # dt_k = t_{k+1} - t_k, last forced to 0, clipped >= 0 (padding-safe).
-    dt = jnp.concatenate([stamps[1:] - stamps[:-1], jnp.zeros((1,), dtype=dtype)])
+    # Stamps are TIME_DTYPE (f64 absolute); the DIFFERENCES are small and
+    # cast to the compute dtype here so f32-belief mode stays f32 downstream.
+    dt = jnp.concatenate(
+        [(stamps[1:] - stamps[:-1]).astype(dtype), jnp.zeros((1,), dtype=dtype)]
+    )
     dt = jnp.maximum(dt, 0.0)
-    dt_eff = weights * dt  # (M,)
+    dt_eff = weights.astype(dtype) * dt  # (M,)
     if target_dt is not None:
         # Soft-window time normalization: the membership weights taper at the
         # window edges and the last sample's forward-diff interval is zero,
@@ -133,7 +137,8 @@ def imu_integration_time(
     t_max = jnp.max(jnp.where(valid, imu_stamps, -big))
     t_min = jnp.min(jnp.where(valid, imu_stamps, big))
     dt_int = jnp.clip(t_max - t_min, 0.0, jnp.maximum(t_end - t_start, 0.0))
-    return jnp.where(n_valid >= 2, dt_int, 0.0)
+    from gcslam_tpu.utils.xla import BELIEF_DTYPE
+    return jnp.where(n_valid >= 2, dt_int, 0.0).astype(BELIEF_DTYPE)
 
 
 def imu_mean_sample_period(imu_stamps: jnp.ndarray) -> jnp.ndarray:
@@ -145,4 +150,5 @@ def imu_mean_sample_period(imu_stamps: jnp.ndarray) -> jnp.ndarray:
     t_max = jnp.max(jnp.where(valid, imu_stamps, -big))
     t_min = jnp.min(jnp.where(valid, imu_stamps, big))
     dt = jnp.where(n >= 2, (t_max - t_min) / jnp.maximum(n - 1, 1), 0.0)
-    return jnp.maximum(dt, 1e-12)
+    from gcslam_tpu.utils.xla import BELIEF_DTYPE
+    return jnp.maximum(dt, 1e-12).astype(BELIEF_DTYPE)

@@ -6,7 +6,7 @@ strictly positive continuous weight — no hard [t0, t1] boundaries anywhere.
 
 from __future__ import annotations
 
-from gcslam_tpu.utils.xla import jax, jnp
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE
 from gcslam_tpu import constants as C
 
 
@@ -21,4 +21,6 @@ def smooth_window_weights(
     b = (end - stamps) / sig
     w_raw = jax.nn.sigmoid(a) * jax.nn.sigmoid(b)
     wf = jnp.asarray(C.WEIGHT_FLOOR, dtype=stamps.dtype)
-    return w_raw * (1.0 - wf) + wf
+    # stamps are TIME_DTYPE (f64 absolute); the weights are O(1) — return
+    # them in the belief compute dtype so f32-belief mode stays f32.
+    return (w_raw * (1.0 - wf) + wf).astype(BELIEF_DTYPE)
