@@ -13,6 +13,12 @@ import time
 
 REFERENCE_MS_PER_SCAN = 1500.0
 
+# Production TPU precision: f32 belief algebra (absolute stamps stay f64 via
+# TIME_DTYPE). On TPU f64 is software-emulated — f32 cuts cold compile ~11x
+# (824 s -> ~75 s) at accuracy gated by tests/test_precision.py. Override
+# with GCSLAM_BELIEF_DTYPE=float64 for the reference-parity mode.
+os.environ.setdefault("GCSLAM_BELIEF_DTYPE", "float32")
+
 
 def main() -> None:
     import jax
@@ -70,9 +76,11 @@ def main() -> None:
         "vs_baseline": round(REFERENCE_MS_PER_SCAN / max(ms_per_scan, 1e-9), 1),
     }
     print(json.dumps(result))
+    from gcslam_tpu.utils.xla import BELIEF_DTYPE, jnp
+
     print(
-        f"# device={jax.devices()[0].platform} compile={compile_s:.0f}s "
-        f"finite={poses_ok} scans/s={1000.0 / ms_per_scan:.1f} "
+        f"# device={jax.devices()[0].platform} belief_dtype={jnp.dtype(BELIEF_DTYPE)} "
+        f"compile={compile_s:.0f}s finite={poses_ok} scans/s={1000.0 / ms_per_scan:.1f} "
         f"xy_err_last={track_err:.3f}m",
         file=sys.stderr,
     )

@@ -24,6 +24,12 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# TPU f32 matmuls default to bf16 passes (~1e-2 relative error) — fatal for
+# the belief algebra in f32-belief mode (roundoff-indefinite 22x22 factors
+# beyond any reasonable Cholesky ridge) and for point-association distances.
+# "highest" forces true-f32 accumulation; the small-matrix algebra is
+# latency-bound so the extra passes are free at this scale.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp  # noqa: E402
 
