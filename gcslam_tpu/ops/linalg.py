@@ -137,16 +137,16 @@ def _jacobi_rot_3x3(A: jnp.ndarray, V: jnp.ndarray, p: int, q: int):
     app = A[..., p, p]
     aqq = A[..., q, q]
     apq = A[..., p, q]
-    # guard |apq| ~ 0: rotation degenerates to identity. The threshold is
-    # RELATIVE (entries are pre-normalized to O(1) by eigh_3x3) and floored
-    # well above the f32 subnormal range so tau = (aqq-app)/(2 apq) cannot
-    # overflow in f32-belief mode.
+    # Overflow-free smaller-root rotation: t = sign(d) * 2 apq / (|d| + r)
+    # with d = aqq - app, r = sqrt(d^2 + 4 apq^2). Entries are pre-normalized
+    # to O(1) by eigh_3x3, so every intermediate is bounded ~[0, 4] — the
+    # classic tau = d/(2 apq) form overflows for tiny apq, and TPU's f64
+    # (a float32-pair emulation) turns that inf into NaN internally.
+    d = aqq - app
+    r = jnp.sqrt(d * d + 4.0 * apq * apq)
     small = jnp.abs(apq) <= 1e-24 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
-    denom = jnp.where(small, 1.0, 2.0 * apq)
-    tau = (aqq - app) / denom
-    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
-    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-    t = jnp.where(small, 0.0, t)
+    sgn_d = jnp.where(d >= 0.0, 1.0, -1.0)
+    t = jnp.where(small, 0.0, sgn_d * 2.0 * apq / (jnp.abs(d) + r + 1e-300))
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
     J = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
