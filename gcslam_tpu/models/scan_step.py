@@ -458,8 +458,17 @@ def _hypothesis_step(
     # certificate trigger + continuous rejection — a non-finite evidence
     # block zeroes beta (prior-only fusion this scan) and sets the
     # NonFiniteEvidence bit in the tape instead of laundering NaN into eps.
+    # The certificate channel feeds beta/alpha (ess, excitation, sentinels):
+    # a NaN there poisons the fusion controls even when L/h are finite
+    # (observed on TPU: one non-finite cert field -> beta=NaN -> state
+    # poisoned permanently). Guard BOTH channels.
+    certs_finite = jnp.asarray(True)
+    for _c in all_certs:
+        for _leaf in jax.tree_util.tree_leaves(_c):
+            if jnp.issubdtype(jnp.asarray(_leaf).dtype, jnp.floating):
+                certs_finite = certs_finite & jnp.all(jnp.isfinite(_leaf))
     ev_finite = (
-        jnp.all(jnp.isfinite(L_ev_raw)) & jnp.all(jnp.isfinite(h_ev_raw))
+        jnp.all(jnp.isfinite(L_ev_raw)) & jnp.all(jnp.isfinite(h_ev_raw)) & certs_finite
     ).astype(L_ev_raw.dtype)
     if inputs_finite is not None:
         # sensor-boundary non-finiteness (detected on the raw batch before
@@ -477,7 +486,9 @@ def _hypothesis_step(
     )
     all_certs.append(nan_cert)
     sentinels = fusion.observability_sentinels(L_ev_raw, cfg.eps_mass)
-    evidence_cert = CT.aggregate([deskew_cert, odom_cert, grav_cert, gyro_cert] + map_certs)
+    evidence_cert = CT.scrub(
+        CT.aggregate([deskew_cert, odom_cert, grav_cert, gyro_cert] + map_certs)
+    )
     exc_total = evidence_cert.exc_dt_effect + evidence_cert.exc_ex_effect
     beta, temper_cert = fusion.power_tempering_beta(
         sentinels, evidence_cert.ess_total, exc_total,
@@ -486,7 +497,9 @@ def _hypothesis_step(
     all_certs.append(temper_cert)
     if beta_scale is not None:
         beta = beta * beta_scale  # per-hypothesis evidence-trust profile
-    beta = beta * ev_finite  # prior-only when evidence was non-finite
+    # prior-only when evidence was non-finite; `where`, not `*` — beta itself
+    # can be NaN when the NaN arrived via the cert channel (NaN * 0 = NaN)
+    beta = jnp.where(ev_finite > 0, beta, 0.0)
     L_evidence = beta * L_ev_raw
     h_evidence = beta * h_ev_raw
 
@@ -512,6 +525,8 @@ def _hypothesis_step(
         sentinels.dt_asymmetry, sentinels.z_to_xy_ratio, beta, evidence_cert.nll_per_ess,
         cfg.alpha_min, cfg.alpha_max, cfg.c0_cond, cfg.eps_mass,
     )
+    # rejected scan: evidence is zero, pin alpha at the conservative floor
+    alpha = jnp.where(ev_finite > 0, alpha, cfg.alpha_min)
     all_certs.append(alpha_cert)
 
     # --- Step 12: additive info fusion ------------------------------------
@@ -535,7 +550,11 @@ def _hypothesis_step(
     ee_gain_real = jnp.trace(L_post) - jnp.trace(L_prior_scaled)
 
     # --- Step 13: Frobenius recompose --------------------------------------
-    total_mag = CT.total_trigger_magnitude(all_certs)
+    # NaN-safe: a non-finite magnitude would flow into the recompose budget
+    # and poison the state; the NonFiniteEvidence bit already records it.
+    total_mag = jnp.nan_to_num(
+        CT.total_trigger_magnitude(all_certs), nan=0.0, posinf=0.0, neginf=0.0
+    )
     rec, rec_cert = recompose.pose_update_frobenius_recompose(
         belief_post, total_mag, cfg.c_frob, cfg.eps_lift
     )
@@ -555,7 +574,7 @@ def _hypothesis_step(
     )
     all_certs.append(drift_cert)
 
-    cert_agg = CT.aggregate(all_certs)
+    cert_agg = CT.scrub(CT.aggregate(all_certs))
     return HypOutputs(
         belief=drift.belief,
         dPsi_proc=dPsi_proc,
@@ -563,7 +582,9 @@ def _hypothesis_step(
         dPsi_meas=dPsi_meas,
         dnu_meas=dnu_meas,
         cert_agg=cert_agg,
-        total_trigger_mag=CT.total_trigger_magnitude(all_certs),
+        total_trigger_mag=jnp.nan_to_num(
+            CT.total_trigger_magnitude(all_certs), nan=0.0, posinf=0.0, neginf=0.0
+        ),
         cond_pose6=cond_pose6,
         eigmin_pose6=eigmin_pose6,
         alpha=alpha,

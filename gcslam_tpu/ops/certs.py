@@ -213,6 +213,22 @@ def aggregate(certs: Sequence[Cert]) -> Cert:
     )
 
 
+def scrub(cert: Cert) -> Cert:
+    """Replace non-finite float fields with 0 (triggers/int fields pass
+    through). Used at the aggregation boundary AFTER the NonFiniteEvidence
+    detection: a NaN in the cert channel would otherwise poison beta/alpha
+    and the tape even though the evidence itself was rejected."""
+    import jax
+
+    def f(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+        return x
+
+    return jax.tree_util.tree_map(f, cert)
+
+
 def total_trigger_magnitude(certs: Sequence[Cert]) -> jnp.ndarray:
     """Sum of per-operator trigger magnitudes (pipeline.py:1211)."""
     out = trigger_magnitude(certs[0])

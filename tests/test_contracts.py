@@ -12,7 +12,7 @@ test_cert_schema.py:1-294 — VERDICT r1 missing #6/#7, weak #4):
 import numpy as np
 import pytest
 
-from gcslam_tpu.utils.xla import jnp
+from gcslam_tpu.utils.xla import jax, jnp
 from gcslam_tpu import constants as C
 from gcslam_tpu.models.config import PipelineConfig
 from gcslam_tpu.models import runner
@@ -243,3 +243,38 @@ def test_batch_budget_mismatch_fails_fast():
         PipelineConfig(k_hyp=C.K_HYP + 1).validate()
     with pytest.raises(ValueError, match="outside declared range"):
         PipelineConfig(forgetting_factor=1.5).validate()
+
+
+def test_cert_channel_nan_rejected(small_run, monkeypatch):
+    """A NaN arriving through the CERTIFICATE channel (not L/h) — e.g. an
+    internal op emitting a non-finite ess/sentinel — must be rejected the
+    same way: NonFiniteEvidence bit, beta=0, finite pose and tape, clean
+    recovery. (Observed on TPU: one NaN cert field -> beta=NaN -> state
+    poisoned permanently.)"""
+    from gcslam_tpu.ops import evidence_imu
+
+    cfg = PipelineConfig(**SMALL)
+    state = init_state(cfg)
+    state, _ = runner._step_jit(state, small_run.batches[0], cfg)
+
+    real = evidence_imu.imu_gravity_evidence_time_resolved
+
+    def poisoned(*a, **kw):
+        grav, cert = real(*a, **kw)
+        return grav, cert._replace(ess_total=jnp.asarray(np.nan, dtype=cert.ess_total.dtype))
+
+    monkeypatch.setattr(evidence_imu, "imu_gravity_evidence_time_resolved", poisoned)
+    import gcslam_tpu.models.scan_step as SS
+    fn = jax.jit(lambda s, b: SS.scan_step(s, b, cfg))
+    state, out = fn(state, small_run.batches[1])
+    trig = int(np.asarray(out.tape.cert_triggers))
+    assert trig & CT.TRIGGERS["NonFiniteEvidence"], "cert-channel NaN must trip the bit"
+    assert float(np.asarray(out.tape.power_beta)) == 0.0
+    assert np.all(np.isfinite(np.asarray(out.pose)))
+    for f in ScanTape._fields:
+        assert np.all(np.isfinite(np.asarray(getattr(out.tape, f)).astype(np.float64))), f
+
+    monkeypatch.undo()
+    state, out2 = runner._step_jit(state, small_run.batches[2], cfg)
+    assert not int(np.asarray(out2.tape.cert_triggers)) & CT.TRIGGERS["NonFiniteEvidence"]
+    assert np.all(np.isfinite(np.asarray(out2.pose)))
