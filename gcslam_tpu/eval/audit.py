@@ -59,15 +59,19 @@ def audit_run(out_dir: str) -> Dict:
         check("diag_finite", not bad, f"non-finite: {bad}")
         if "fusion_alpha" in diag:
             a = diag["fusion_alpha"]
-            check("alpha_in_range", np.all((a >= C.ALPHA_MIN - 1e-9) & (a <= C.ALPHA_MAX + 1e-9)))
+            # dtype-aware bound tolerance: f32-belief runs round the clamped
+            # controls by ~eps_f32, not ~eps_f64
+            tol = 1e-9 if a.dtype == np.float64 else 1e-5
+            check("alpha_in_range", np.all((a >= C.ALPHA_MIN - tol) & (a <= C.ALPHA_MAX + tol)))
         if "power_beta" in diag:
             b = diag["power_beta"]
+            tol = 1e-9 if b.dtype == np.float64 else 1e-5
             # beta = 0 is the certified non-finite-evidence rejection
             # (NonFiniteEvidence trigger); otherwise beta >= POWER_BETA_MIN
             # scaled by the smallest hypothesis trust profile (hyp_diversify)
             beta_lo = C.POWER_BETA_MIN * min(C.HYP_BETA_SCALE)
-            ok_b = (b >= beta_lo - 1e-9) | (b <= 1e-12)
-            check("beta_in_range", np.all(ok_b & (b <= 1.0 + 1e-9)))
+            ok_b = (b >= beta_lo - tol) | (b <= 1e-12)
+            check("beta_in_range", np.all(ok_b & (b <= 1.0 + tol)))
         if "ee_pose_shift_pred" in diag:
             # ExpectedEffect audit (reference certificates.py:488): the
             # realized recompose magnitude must track the predicted fused

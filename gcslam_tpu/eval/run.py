@@ -51,7 +51,23 @@ def main(argv=None) -> dict:
                    help="synthetic trajectory shape")
     p.add_argument("--config", default=None,
                    help="YAML/JSON PipelineConfig file (configs/gc_default.yaml)")
+    p.add_argument("--precision", default=None, choices=["f32", "f64"],
+                   help="belief-algebra dtype (docs/ARCHITECTURE.md precision "
+                        "policy); f32 cuts TPU compile ~11x. Default: "
+                        "GCSLAM_BELIEF_DTYPE env else f64")
     args = p.parse_args(argv)
+
+    if args.precision is not None:
+        # The dtype binds when gcslam_tpu is first imported (which `python -m`
+        # already did for the package __init__), so re-exec with the env set.
+        import sys as _sys
+
+        want = "float32" if args.precision == "f32" else "float64"
+        if os.environ.get("GCSLAM_BELIEF_DTYPE", "float64") != want:
+            env = dict(os.environ, GCSLAM_BELIEF_DTYPE=want)
+            os.execve(_sys.executable,
+                      [_sys.executable, "-m", "gcslam_tpu.eval.run"]
+                      + [a for a in (argv or _sys.argv[1:])], env)
 
     if args.cpu:
         import jax

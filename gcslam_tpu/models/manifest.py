@@ -35,8 +35,14 @@ BACKENDS = {
 
 
 def runtime_manifest(cfg: PipelineConfig) -> Dict[str, Any]:
+    from gcslam_tpu.utils.xla import BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE, jnp
+
     m: Dict[str, Any] = {
         "chart_id": C.CHART_ID,
+        # precision policy (docs/ARCHITECTURE.md): behavioral, so echoed
+        "belief_dtype": str(jnp.dtype(BELIEF_DTYPE)),
+        "point_dtype": str(jnp.dtype(POINT_DTYPE)),
+        "time_dtype": str(jnp.dtype(TIME_DTYPE)),
         "D_Z": C.D_Z,
         "D_DESKEW": C.D_DESKEW,
         "HYP_WEIGHT_FLOOR": C.HYP_WEIGHT_FLOOR,
