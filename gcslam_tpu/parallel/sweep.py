@@ -36,6 +36,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "run") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_map(n_run: int, n_map: int) -> Mesh:
+    """2-D mesh ("run", "map"): the atlas TILE axis shards over "map" so the
+    device-resident map scales beyond one chip's HBM (the reference's
+    unbounded dict-of-tiles has no analog; this is the pod-scale version of
+    its tile table). View extraction / fuse / insert gathers and scatters
+    against the sharded tile table become GSPMD collectives; the rest of the
+    filter state is replicated along "map". n_map must divide
+    atlas_max_tiles."""
+    devs = jax.devices()[: n_run * n_map]
+    if len(devs) < n_run * n_map:
+        raise ValueError(f"need {n_run * n_map} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs).reshape(n_run, n_map), ("run", "map"))
+
+
 def make_mesh_2d(n_run: int, n_hyp: int) -> Mesh:
     """2-D mesh ("run", "hyp"): data-parallel replays x model-parallel
     hypotheses. The K_HYP axis of the belief stack shards over "hyp"; the
@@ -68,6 +82,19 @@ def shard_states(states: StepState, mesh: Mesh, axis: str = "run") -> StepState:
     """1-D run sharding; on a 2-D ("run", "hyp") mesh the hypothesis axis of
     the belief stack (and hyp_weights) additionally shards over "hyp"."""
     run = NamedSharding(mesh, P(axis))
+    if "map" in mesh.axis_names:
+        # atlas leaves are (R, T, ...): tile axis T shards over "map";
+        # everything else replicates along "map".
+        run_map = NamedSharding(mesh, P(axis, "map"))
+        atlas = states.atlas
+        if atlas is not None:
+            atlas = type(atlas)(*[
+                jax.device_put(x, run if jnp.ndim(x) < 2 else run_map)
+                for x in atlas
+            ])
+        rest = states._replace(atlas=None)
+        rest = jax.tree_util.tree_map(lambda x: jax.device_put(x, run), rest)
+        return rest._replace(atlas=atlas)
     if "hyp" in mesh.axis_names:
         run_hyp = NamedSharding(mesh, P(axis, "hyp"))
         beliefs = jax.tree_util.tree_map(

@@ -90,3 +90,38 @@ def test_sweep_2d_run_hyp_mesh_matches():
 
     assert np.all(np.isfinite(poses2))
     assert np.allclose(poses2, poses1, atol=1e-8), np.abs(poses2 - poses1).max()
+
+
+def test_sweep_map_axis_sharding_matches():
+    """("run", "map") mesh: the atlas TILE axis shards over devices (maps
+    bigger than one chip's HBM). Gathers/scatters against the sharded tile
+    table become GSPMD collectives; results must match the 1-D run."""
+    n_runs, n_map = 2, 4
+    cfg = PipelineConfig(with_map=True, atlas_max_tiles=8, m_tile=64,
+                         m_tile_view=32, n_surfel=64, surfel_voxel_size_m=0.5)
+    assert cfg.atlas_max_tiles % n_map == 0
+    batches = _runs(n_runs, n_scans=4)
+
+    def advance(states, mesh):
+        poses = []
+        for k in range(int(np.asarray(batches.t_scan).shape[1])):
+            bk = jax.tree_util.tree_map(lambda x: x[:, k], batches)
+            bk = sweep.shard_batches(bk, mesh)
+            states, outs, _ = sweep.sweep_step(states, bk, cfg)
+            poses.append(np.asarray(outs.pose))
+        return np.stack(poses, axis=1), states
+
+    mesh_m = sweep.make_mesh_map(n_runs, n_map)
+    sm = sweep.shard_states(sweep.batched_init_state(cfg, n_runs), mesh_m)
+    poses_m, states_m = advance(sm, mesh_m)
+
+    mesh1 = sweep.make_mesh(n_runs)
+    s1 = sweep.shard_states(sweep.batched_init_state(cfg, n_runs), mesh1)
+    poses1, states_1 = advance(s1, mesh1)
+
+    assert np.all(np.isfinite(poses_m))
+    assert np.allclose(poses_m, poses1, atol=1e-8), np.abs(poses_m - poses1).max()
+    # the sharded atlas accumulated the same map
+    w_m = np.asarray(states_m.atlas.weights)
+    w_1 = np.asarray(states_1.atlas.weights)
+    assert np.allclose(w_m, w_1, atol=1e-5), np.abs(w_m - w_1).max()
