@@ -33,3 +33,29 @@ def load_state(path: str, like: Any) -> Any:
                 "(config mismatch)"
             )
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Sharded checkpointing (orbax): multi-chip states (run/hyp/map-sharded
+# sweeps, parallel/sweep.py) save and restore WITH their shardings — the
+# npz path above gathers to host and loses placement. Resume on a different
+# mesh works by passing that mesh's target state as `like`.
+# ---------------------------------------------------------------------------
+
+
+def save_state_sharded(path: str, state: Any) -> None:
+    """Orbax save of a (possibly sharded) StepState pytree. `path` must be
+    a fresh directory (absolute)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def load_state_sharded(path: str, like: Any) -> Any:
+    """Restore with the shardings/dtypes/shapes of `like` (e.g. an
+    initialized+sharded sweep state on the target mesh)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=like)
