@@ -274,7 +274,7 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         # --- ground truth at scan end
         pos, yaw, v_world, wz, _ = traj(t_scan)
         gt_poses[k] = np.concatenate([pos, [0.0, 0.0, yaw]])
-        gt_times[k] = t_scan
+        gt_times[k] = t_scan + cfg.t0
 
         # --- IMU window (t_last_scan, t_scan]; includes deskew coverage
         stamps = np.arange(np.floor(scan_start / imu_dt) * imu_dt, scan_end + 1e-9, imu_dt)

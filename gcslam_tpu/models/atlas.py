@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 from gcslam_tpu.models.batch import MeasurementBatch, from_camera_and_surfels, mean_positions
 from gcslam_tpu.models.config import PipelineConfig
@@ -44,8 +44,8 @@ class AtlasState(NamedTuple):
     thetas: jnp.ndarray  # (T, M, 3)
     etas: jnp.ndarray  # (T, M, B, 3)
     weights: jnp.ndarray  # (T, M)
-    timestamps: jnp.ndarray  # (T, M)
-    created: jnp.ndarray  # (T, M)
+    timestamps: jnp.ndarray  # (T, M) TIME_DTYPE (f64 epoch seconds)
+    created: jnp.ndarray  # (T, M) TIME_DTYPE
     last_supported: jnp.ndarray  # (T, M) int32 scan seq
     last_update: jnp.ndarray  # (T, M) int32
     primitive_ids: jnp.ndarray  # (T, M) int32, -1 invalid
@@ -67,8 +67,8 @@ def empty_atlas(cfg: PipelineConfig) -> AtlasState:
         thetas=jnp.zeros((T, M, 3), dtype=MAPF),
         etas=jnp.zeros((T, M, B, 3), dtype=MAPF),
         weights=jnp.zeros((T, M), dtype=MAPF),
-        timestamps=jnp.zeros((T, M), dtype=MAPF),
-        created=jnp.zeros((T, M), dtype=MAPF),
+        timestamps=jnp.zeros((T, M), dtype=TIME_DTYPE),
+        created=jnp.zeros((T, M), dtype=TIME_DTYPE),
         last_supported=jnp.zeros((T, M), dtype=jnp.int32),
         last_update=jnp.zeros((T, M), dtype=jnp.int32),
         primitive_ids=jnp.full((T, M), -1, dtype=jnp.int32),
@@ -314,8 +314,7 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             dtype=BELIEF_DTYPE,
         )
 
-        def gn_round(z, xs):
-            anneal, step_on = xs
+        def _round_outputs(z, anneal):
             cfg_r = _dc.replace(
                 cfg,
                 ot_epsilon=cfg.ot_epsilon * anneal,
@@ -327,6 +326,13 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
                 assoc, mbatch, atlas_view, z, cfg_r
             )
+            return (z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert), cfg_r
+
+        def gn_round(carry, xs):
+            z, _prev = carry
+            anneal, step_on = xs
+            outs, cfg_r = _round_outputs(z, anneal)
+            _, L_lidar, h_lidar, _, _, _ = outs
             L6 = L_lidar[0:6, 0:6] + cfg.eps_lift * jnp.eye(6, dtype=L_lidar.dtype)
             delta, _ = linalg.spd_solve_lifted(L6, h_lidar[0:6], cfg.eps_lift)
             # Trust region: the quadratic model is only valid inside this
@@ -336,10 +342,18 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             nrm = jnp.linalg.norm(delta)
             delta = delta * (step_on * jnp.minimum(1.0, step_cap / (nrm + 1e-12)))
             z_next = se3.se3_compose(z, se3.se3_exp(delta))
-            return z_next, (z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert)
+            # last round's outputs ride the CARRY (only ys would force XLA to
+            # stack n_rounds copies of the association tensors in HBM)
+            return (z_next, outs), None
 
-        _, ys = jax.lax.scan(gn_round, z_lin_pose, (anneals, do_step))
-        last = jax.tree_util.tree_map(lambda x: x[-1], ys)
+        out_shapes = jax.eval_shape(lambda z: _round_outputs(z, anneals[0])[0],
+                                    z_lin_pose)
+        outs0 = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), out_shapes
+        )
+        (_, last), _ = jax.lax.scan(
+            gn_round, (z_lin_pose, outs0), (anneals, do_step)
+        )
         z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert = last
         extras = MapExtras(
             batch=mbatch,
@@ -415,7 +429,7 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
     updated = resp_sum > 0.0
     last_supported = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_supported)
     last_update = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_update)
-    timestamps = jnp.where(updated, timestamp.astype(MAPF), atlas.timestamps)
+    timestamps = jnp.where(updated, timestamp.astype(TIME_DTYPE), atlas.timestamps)
 
     has_cam = cam_mass > 0.0
     rgb_est = jnp.clip(rgb_accum / jnp.maximum(rgb_denom[..., None], cfg.eps_mass), 0.0, 1.0)
@@ -498,8 +512,8 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
         thetas=sset(atlas.thetas, th_i),
         etas=sset(atlas.etas, eta_i),
         weights=sset(atlas.weights, w_i),
-        timestamps=sset(atlas.timestamps, jnp.full_like(w_i, timestamp.astype(MAPF))),
-        created=sset(atlas.created, jnp.full_like(w_i, timestamp.astype(MAPF))),
+        timestamps=sset(atlas.timestamps, jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE)),
+        created=sset(atlas.created, jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE)),
         last_supported=sset(atlas.last_supported, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
         last_update=sset(atlas.last_update, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
         primitive_ids=sset(atlas.primitive_ids, new_ids),

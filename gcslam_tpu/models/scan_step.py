@@ -462,11 +462,14 @@ def _hypothesis_step(
     # a NaN there poisons the fusion controls even when L/h are finite
     # (observed on TPU: one non-finite cert field -> beta=NaN -> state
     # poisoned permanently). Guard BOTH channels.
+    # NaN only — an inf in a purely diagnostic field (e.g. a cond ratio
+    # overflowing in f32) must not silently reject the scan; the control
+    # inputs (beta/alpha) are additionally scrubbed via CT.scrub below.
     certs_finite = jnp.asarray(True)
     for _c in all_certs:
         for _leaf in jax.tree_util.tree_leaves(_c):
             if jnp.issubdtype(jnp.asarray(_leaf).dtype, jnp.floating):
-                certs_finite = certs_finite & jnp.all(jnp.isfinite(_leaf))
+                certs_finite = certs_finite & ~jnp.any(jnp.isnan(_leaf))
     ev_finite = (
         jnp.all(jnp.isfinite(L_ev_raw)) & jnp.all(jnp.isfinite(h_ev_raw)) & certs_finite
     ).astype(L_ev_raw.dtype)

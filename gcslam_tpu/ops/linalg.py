@@ -219,9 +219,19 @@ def det3x3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv3x3(M: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
-    """Adjugate inverse of (..., 3, 3); optional +eps*I lift before inverting."""
-    if eps:
-        M = M + eps * jnp.eye(3, dtype=M.dtype)
+    """Adjugate inverse of (..., 3, 3); optional +eps*I lift before inverting.
+
+    Scale-normalized (inv(M) = inv(M/s)/s with s = max|M|): cofactors and
+    det stay O(1), so f32 never overflows (a diag(1e13) block overflows the
+    raw det and silently inverted to ZERO) and the det floor is RELATIVE.
+    The floor also preserves det's sign — replacing a tiny negative det
+    with +tiny flipped the sign of the whole inverse. The relative ridge
+    (dtype eps * scale) covers roundoff-indefinite inputs in f32-belief
+    mode, mirroring _lift_eps for the Cholesky path."""
+    s = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
+    s = jnp.where(s > 0.0, s, 1.0)
+    eps_rel = 32.0 * jnp.finfo(M.dtype).eps
+    M = M / s + (eps / s + eps_rel) * jnp.eye(3, dtype=M.dtype)
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
@@ -235,9 +245,12 @@ def inv3x3(M: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     H = -(a * f - c * d)
     I = a * e - b * d
     det = a * A + b * B + c * Cc
-    # Floor well inside the f32 exponent range: TPU emulates f64 as a
-    # float32 pair, so sub-1e-38 constants (finfo.tiny) flush to zero there.
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    # Relative, SIGN-PRESERVING det floor (entries are O(1) here); 1e-30
+    # also stays inside the f32 exponent range (TPU f64 = float32 pair).
+    floor = jnp.maximum(jnp.asarray(1e-30, dtype=M.dtype),
+                        (32.0 * jnp.finfo(M.dtype).eps) ** 3)
+    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > floor, det, sgn * floor)
     adjT = jnp.stack(
         [
             jnp.stack([A, D, G], axis=-1),
@@ -246,7 +259,7 @@ def inv3x3(M: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    return adjT * inv_det[..., None, None]
+    return adjT * (inv_det[..., None, None] / s)
 
 
 def solve3x3(M: jnp.ndarray, b: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:

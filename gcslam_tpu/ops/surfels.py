@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE
+from gcslam_tpu.utils.xla import jax, jnp, BELIEF_DTYPE, POINT_DTYPE, TIME_DTYPE
 from gcslam_tpu import constants as C
 from gcslam_tpu.ops import linalg
 from gcslam_tpu.ops.certs import Cert, make_cert, TRIGGERS
@@ -65,7 +65,11 @@ def extract_surfels(
     f32 = POINT_DTYPE
     pts = points.astype(f32)
     w = weights.astype(f32)
-    t = timestamps.astype(f32)
+    # Stamps are TIME_DTYPE (f64 epoch): accumulate RELATIVE times in f32
+    # (all points lie in one ~0.1 s scan window) and add the reference back
+    # in f64 — casting epoch seconds to f32 quantizes them to ~128 s.
+    t_ref = jnp.max(timestamps)
+    t = (timestamps - t_ref).astype(f32)
 
     # Mask non-finite sentinels (|p| near the parser sentinel) and zero weight.
     finite = jnp.all(jnp.abs(pts) < 0.1 * C.NONFINITE_SENTINEL, axis=-1)
@@ -154,7 +158,7 @@ def extract_surfels(
         normals=normal * vmask[:, None],
         kappas=kappa * vmask,
         weights=m0_s * vmask,
-        timestamps=(mt_s * inv_m0) * vmask,
+        timestamps=(t_ref + (mt_s * inv_m0).astype(TIME_DTYPE)) * vmask,
         valid=slot_valid,
         n_valid=n_valid,
     )

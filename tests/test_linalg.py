@@ -136,3 +136,38 @@ def test_eigh_3x3_jacobi_matches_lapack():
     assert np.allclose(rec, M, rtol=1e-9, atol=1e-9)
     VtV = np.einsum("bki,bkj->bij", V, V)
     assert np.allclose(VtV, np.eye(3)[None], atol=1e-12)
+
+
+def test_inv3x3_f32_extreme_scales_and_sign():
+    """Review findings: (a) f32 adjugate inverse must not overflow to zero
+    or to 1e38 garbage on extreme/roundoff-singular inputs (scale-normalized
+    + relative ridge); (b) the det floor must preserve the sign of a tiny
+    negative det."""
+    import numpy as np
+    from gcslam_tpu.ops import linalg
+    from gcslam_tpu.utils.xla import jnp
+
+    # f32 det overflow: diag(1e13) has det 1e39 > f32 max; inverse must be
+    # finite and ~diag(1e-13), not zero
+    M = jnp.asarray(np.diag([1e13, 1e13, 1e13]), dtype=jnp.float32)
+    inv = np.asarray(linalg.inv3x3(M))
+    assert np.all(np.isfinite(inv))
+    assert np.allclose(np.diag(inv), 1e-13, rtol=1e-3)
+
+    # f32 roundoff-singular PSD at large scale: inverse stays bounded by the
+    # relative ridge (no 1e38 garbage)
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(3, 2)).astype(np.float32) * 1e2
+    S = (A @ A.T).astype(np.float32)  # rank-2, scale ~1e4
+    inv = np.asarray(linalg.inv3x3(jnp.asarray(S, dtype=jnp.float32), eps=1e-9))
+    assert np.all(np.isfinite(inv))
+    # ridge is 32*eps_f32*scale ~ 4e-2 -> inverse bounded by ~1/ridge
+    assert np.abs(inv).max() < 1e4, np.abs(inv).max()
+
+    # sign preservation: a genuinely negative eigenvalue (beyond the
+    # relative ridge) must invert NEGATIVE — the old absolute floor replaced
+    # det=-tiny with +tiny, flipping the whole inverse
+    D = jnp.asarray(np.diag([1.0, 1.0, -1e-5]), dtype=jnp.float64)
+    inv = np.asarray(linalg.inv3x3(D))
+    assert inv[2, 2] < 0, "negative eigenvalue inverted positive"
+    assert np.isclose(inv[2, 2], -1e5, rtol=1e-6)
