@@ -8,6 +8,11 @@ enough — we must override via jax.config BEFORE the first backend init.
 
 import os
 
+# Never enable the persistent compile cache under pytest: a large compile's
+# cache write (zstandard) can crash under end-of-suite memory pressure, and
+# tests must not depend on cross-run on-disk state anyway.
+os.environ["GCSLAM_JAX_CACHE_DISABLE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
