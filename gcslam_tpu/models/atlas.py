@@ -264,12 +264,21 @@ class MapExtras(NamedTuple):
     ot_transport_mass: jnp.ndarray
     ot_marginal_defect_a: jnp.ndarray
     z_map_pose: jnp.ndarray  # (6,) world pose the factor is linearized at
+    # LiDAR translation residuals at the final linearization — the third
+    # measurement-noise IW block's sufficient statistics (reference
+    # measurement_noise_iw_jax.py:104-131 via pipeline.py:550-566)
+    lidar_residuals: jnp.ndarray  # (N, K, 3) map - transformed surfel, world
+    lidar_resid_w: jnp.ndarray  # (N, K) responsibility weights (surfel rows)
 
 
-def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
+def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig, sensor_var=None):
     """Returns the map-branch closure used inside the vmapped hypothesis step.
     The view is shared (extracted once per scan); per-hypothesis deskewed
-    points produce per-hypothesis surfels/associations."""
+    points produce per-hypothesis surfels/associations.
+
+    `sensor_var` is the adapted LiDAR sensor noise variance (tr(Sigma_l)/3
+    from the measurement-noise IW block, reference pipeline.py:550-566) fed
+    into the surfel covariance floor; None keeps the datasheet constant."""
     from gcslam_tpu.ops import association as assoc_mod
     from gcslam_tpu.ops import evidence_pose
 
@@ -277,6 +286,7 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
         surfels, surf_cert = extract_surfels(
             deskewed_points, batch_in.point_stamps, deskewed_weights,
             cfg.n_surfel, cfg.surfel_voxel_size_m, cfg.surfel_min_points_per_voxel,
+            sensor_var=sensor_var,
         )
         mbatch = from_camera_and_surfels(
             batch_in.cam_Lambdas, batch_in.cam_thetas, batch_in.cam_etas,
@@ -355,6 +365,26 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             gn_round, (z_lin_pose, outs0), (anneals, do_step)
         )
         z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert = last
+
+        # LiDAR translation residual suffstats at the FINAL linearization:
+        # r_ik = map_k - (R z) p_i - t z over surfel rows, weighted by the
+        # (validity-masked) responsibilities. These feed the third
+        # measurement-noise IW block (scan_step step 14).
+        R_z = se3.so3_exp(z[3:6])
+        meas_w = mean_positions(mbatch, cfg.eps_lift) @ R_z.T + z[None, :3]
+        map_pos = atlas_view.positions[assoc.cand_pool]  # (N, K, 3)
+        pair_ok = (
+            mbatch.valid[:, None]
+            & atlas_view.valid[assoc.cand_pool]
+            & (mbatch.sources == 1)[:, None]
+        )
+        # NaN-safe: invalid atlas rows / an empty-view GN pose carry NaN
+        # positions, and 0-weight x NaN = NaN would poison the IW einsum
+        # downstream (measurement_iw_apply) even though the pair is masked.
+        resid = jnp.where(pair_ok[:, :, None], map_pos - meas_w[:, None, :], 0.0)
+        resid = jnp.where(jnp.isfinite(resid), resid, 0.0)
+        resid_w = assoc.responsibilities * pair_ok.astype(resid.dtype)
+
         extras = MapExtras(
             batch=mbatch,
             responsibilities=assoc.responsibilities,
@@ -363,6 +393,8 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig):
             ot_transport_mass=assoc.transport_mass,
             ot_marginal_defect_a=assoc.marginal_defect_a,
             z_map_pose=z,
+            lidar_residuals=resid,
+            lidar_resid_w=resid_w,
         )
         return L_lidar, h_lidar, [surf_cert, assoc_cert, vis_cert], extras
 
@@ -461,11 +493,16 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
 
     meas_tile_ids = tiling.tile_ids_from_xyz(mu_w, cfg.h_tile)  # (N,)
 
-    # Per active tile: top-Kin in-tile proposals.
+    # Per active tile: top-Kin in-tile proposals. The insert gate must sit
+    # ABOVE the invalid-row penalty band (-1e6): with a > -1e20 gate, any
+    # tile with fewer than Kin valid in-tile proposals filled the remainder
+    # with INVALID rows — weight-0 ghost primitives (camera-slice zeros at
+    # the origin tile) that saturated the insert budget every scan and, in
+    # f32, carried non-finite positions into the atlas.
     in_tile = meas_tile_ids[None, :] == active_ids[:, None]  # (A, N)
     score_t = jnp.where(in_tile, score[None, :], -1e30)
     top_score, top_idx = jax.lax.top_k(score_t, Kin)  # (A, Kin)
-    do_insert = top_score > -1e20  # in-tile & valid proposals
+    do_insert = top_score > 0.0  # in-tile & valid & positive novelty mass
 
     # Eviction targets: Kin lowest-retention slots per tile (invalid first).
     dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - atlas.last_supported[active_slots])
@@ -526,7 +563,16 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
         next_global_id=(atlas.next_global_id + n_inserted).astype(jnp.int32),
     )
     insert_mass = jnp.sum(w_i)
-    return atlas, insert_mass, evicted_mass
+    # Per-insertion event payloads (reference pipeline.py:1393-1410 logs
+    # tile_id/mu_world/weight per inserted primitive for post-run replay):
+    # fixed-shape (A*Kin,) arrays, id=-1 marks no-insert rows.
+    events = dict(
+        ins_ids=new_ids,  # (A*Kin,) int32, -1 invalid
+        ins_tiles=jnp.repeat(active_ids, Kin),  # (A*Kin,) int64
+        ins_mu=mu_w[gi].astype(MAPF) * ins_valid[:, None].astype(MAPF),
+        ins_w=w_i,
+    )
+    return atlas, insert_mass, evicted_mass, events
 
 
 def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
@@ -706,7 +752,7 @@ def map_update_step(
     )
 
     atlas, fused_mass = _fuse(atlas, view, extras, Lam_w, th_w, eta_w, scan_seq, timestamp, cfg)
-    atlas, insert_mass, evicted_mass = _insert(
+    atlas, insert_mass, evicted_mass, ins_events = _insert(
         atlas, extras, mu_w, Lam_w, th_w, eta_w, active_slots, active_ids, scan_seq, timestamp, cfg
     )
     atlas, cull_mass, n_culled = _cull_forget(atlas, active_slots, cfg)
@@ -721,5 +767,6 @@ def map_update_step(
         valid_total=jnp.sum(atlas.valid.astype(BELIEF_DTYPE)),
         ot_transport_mass=extras.ot_transport_mass.astype(BELIEF_DTYPE),
         ot_marginal_defect_a=extras.ot_marginal_defect_a.astype(BELIEF_DTYPE),
+        **ins_events,
     )
     return atlas, tape

@@ -97,6 +97,12 @@ class ScanTape(NamedTuple):
     map_valid_total: jnp.ndarray
     ot_transport_mass: jnp.ndarray
     ot_marginal_defect_a: jnp.ndarray
+    # per-insertion event payloads (reference pipeline.py:1393-1410): fixed
+    # (S*K_INSERT,) arrays per scan, id=-1 marks unused rows; (0,) when no map
+    map_ins_ids: jnp.ndarray  # int32 primitive ids
+    map_ins_tiles: jnp.ndarray  # int64 tile ids
+    map_ins_mu: jnp.ndarray  # (., 3) world positions
+    map_ins_w: jnp.ndarray  # weights
     # scan-IO stream health (numeric ScanIOCert, reference
     # certificates.py:274-296: per-stream buffer windows/coverage/drops)
     io_n_points_valid: jnp.ndarray
@@ -264,7 +270,7 @@ def _hypothesis_step(
         rotvec0, batch.imu_accel, w_int_valid, accel_bias, gravity_W, dt_imu, cfg.eps_mass
     )
     dPsi_meas = dPsi_g + dPsi_a
-    dnu_meas = dnu_g + dnu_a
+    dnu_meas = dnu_g + dnu_a  # LiDAR block added after the map branch below
 
     # --- Step 5: deskew (constant twist) --------------------------------
     from gcslam_tpu.ops.deskew import deskew_constant_twist
@@ -448,6 +454,19 @@ def _hypothesis_step(
     L_lidar = ms * L_lidar
     h_lidar = ms * h_lidar
     all_certs.extend(map_certs)
+
+    # LiDAR measurement-noise IW suffstats (third block; reference
+    # measurement_noise_iw_jax.py:104-131 applied via pipeline.py:550-566):
+    # weighted outer products of the association translation residuals at the
+    # map factor's final linearization.
+    if map_extras is not None:
+        dPsi_l, dnu_l = iw.lidar_meas_suffstats(
+            map_extras.lidar_residuals.reshape(-1, 3),
+            map_extras.lidar_resid_w.reshape(-1),
+            cfg.eps_mass,
+        )
+        dPsi_meas = dPsi_meas + dPsi_l
+        dnu_meas = dnu_meas + dnu_l
 
     # --- Step 9: power tempering ----------------------------------------
     L_ev_raw = L_imu_odom + L_lidar
@@ -642,6 +661,7 @@ def scan_step(
     Q = iw.process_noise_to_Q(state.process_iw, cfg.eps_psd)
     Sigma_g = iw.measurement_noise_mode(state.meas_iw, 0, cfg.eps_psd)
     Sigma_a = iw.measurement_noise_mode(state.meas_iw, 1, cfg.eps_psd)
+    Sigma_l = iw.measurement_noise_mode(state.meas_iw, 2, cfg.eps_psd)
 
     atlas = state.atlas
     if cfg.with_map:
@@ -658,7 +678,9 @@ def scan_step(
         view = atlas_mod.extract_view(
             atlas, active_slots, jnp.ones_like(active_slots, dtype=bool), cfg
         )
-        map_fn = atlas_mod.make_map_evidence_fn(view, cfg)
+        map_fn = atlas_mod.make_map_evidence_fn(
+            view, cfg, sensor_var=jnp.trace(Sigma_l) / 3.0
+        )
     else:
         map_fn = _zero_map_evidence
 
@@ -720,6 +742,10 @@ def scan_step(
             fused_mass=zero, insert_mass=zero, evicted_mass=zero,
             n_culled=zero, n_merged=zero, valid_total=zero,
             ot_transport_mass=zero, ot_marginal_defect_a=zero,
+            ins_ids=jnp.zeros((0,), dtype=jnp.int32),
+            ins_tiles=jnp.zeros((0,), dtype=jnp.int64),
+            ins_mu=jnp.zeros((0, 3), dtype=jnp.float32),
+            ins_w=jnp.zeros((0,), dtype=jnp.float32),
         )
 
     # Cross-hypothesis cert aggregation for the tape (weighted-mean style)
@@ -765,6 +791,10 @@ def scan_step(
         map_valid_total=map_tape["valid_total"],
         ot_transport_mass=map_tape["ot_transport_mass"],
         ot_marginal_defect_a=map_tape["ot_marginal_defect_a"],
+        map_ins_ids=map_tape["ins_ids"],
+        map_ins_tiles=map_tape["ins_tiles"],
+        map_ins_mu=map_tape["ins_mu"],
+        map_ins_w=map_tape["ins_w"],
         io_n_points_valid=jnp.sum((batch.point_weights > 0).astype(BELIEF_DTYPE)),
         io_n_imu_valid=jnp.sum((batch.imu_stamps > 0).astype(BELIEF_DTYPE)),
         io_imu_coverage=imu_integration_time(

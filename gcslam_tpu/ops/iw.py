@@ -258,9 +258,19 @@ def lidar_meas_suffstats(
     eps_mass: float = C.EPS_MASS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LiDAR translation Sigma suffstats from weighted residual outer products
-    (discrete covariance; no dt mapping)."""
-    w_norm = weights / (jnp.sum(weights) + eps_mass)
+    (discrete covariance; no dt mapping) — reference
+    measurement_noise_iw_jax.py:104-131 (dPsi = average outer product).
+
+    Deviation (same observability-weighting rationale as process_iw_suffstats):
+    the reference's dnu=1-per-scan counts a scan with ZERO matched pairs as a
+    full pseudo-observation of Sigma_lidar=dPsi~0, shrinking Sigma whenever
+    the map is empty (startup, new area). Both dPsi and dnu are scaled by the
+    continuous support s = w_sum/(w_sum + c): unmatched scans contribute
+    ~nothing and the rho-retention holds the prior."""
+    w_sum = jnp.sum(weights)
+    w_norm = weights / (w_sum + eps_mass)
     rrT = jnp.einsum("b,bi,bj->ij", w_norm, residuals, residuals)
     rrT_psd, _ = linalg.domain_projection_psd(linalg.sym(rrT))
-    dPsi = jnp.zeros((3, 3, 3), dtype=rrT.dtype).at[2].set(rrT_psd)
-    return dPsi, jnp.asarray([0.0, 0.0, 1.0], dtype=rrT.dtype)
+    support = w_sum / (w_sum + 0.1)
+    dPsi = jnp.zeros((3, 3, 3), dtype=rrT.dtype).at[2].set(support * rrT_psd)
+    return dPsi, support * jnp.asarray([0.0, 0.0, 1.0], dtype=rrT.dtype)

@@ -61,7 +61,13 @@ def extract_surfels(
     n_surfel: int = C.N_SURFEL,
     voxel_size_m: float = 0.1,
     min_points: int = 3,
+    sensor_var=None,
 ) -> tuple[SurfelSet, Cert]:
+    """`sensor_var`: isotropic per-point sensor noise variance added to the
+    surfel covariance. None -> datasheet constant SENSOR_VAR; a traced scalar
+    here is the adapted LiDAR measurement-noise IW mode (tr(Sigma_l)/3,
+    reference pipeline.py:550-566) — 'noise is a random variable' closing its
+    third loop. Floored at SENSOR_VAR so adaptation can only widen."""
     f32 = POINT_DTYPE
     pts = points.astype(f32)
     w = weights.astype(f32)
@@ -140,7 +146,10 @@ def extract_surfels(
     sigma_perp_sq = jnp.maximum(eigvals[:, 0], EIG_MIN)
 
     # Surfel covariance: spread (eigenvalues floored) + isotropic sensor noise.
-    vals = jnp.maximum(eigvals, EIG_MIN) + SENSOR_VAR
+    s_var = SENSOR_VAR if sensor_var is None else jnp.maximum(
+        sensor_var.astype(f64), SENSOR_VAR
+    )
+    vals = jnp.maximum(eigvals, EIG_MIN) + s_var
     Sigma = jnp.einsum("sik,sk,sjk->sij", eigvecs, vals, eigvecs)
 
     # Wishart regularization in precision space (declared approximation).

@@ -71,6 +71,8 @@ def save_map_event_log(path: str, tape) -> None:
         ("imu_coverage", "io_imu_coverage"),
         ("loop_weight", "io_loop_weight"),
     ]
+    ins_ids = d.get("map_ins_ids")
+    have_inserts = ins_ids is not None and ins_ids.size > 0
     with open(path, "w") as f:
         for k in range(n):
             row = {"scan": k}
@@ -78,3 +80,18 @@ def save_map_event_log(path: str, tape) -> None:
                 if field in d:
                     row[name] = float(np.asarray(d[field]).reshape(-1)[k])
             f.write(json.dumps(row) + "\n")
+            # Per-insertion events (reference pipeline.py:1393-1410): one line
+            # per inserted primitive with its id/tile/position/weight, so a
+            # post-run tool can replay map growth primitive-by-primitive.
+            if have_inserts:
+                ids_k = ins_ids[k]
+                for j in np.nonzero(ids_k >= 0)[0]:
+                    f.write(json.dumps({
+                        "scan": k,
+                        "event": "insert",
+                        "id": int(ids_k[j]),
+                        "tile_id": int(d["map_ins_tiles"][k][j]),
+                        "mu_world": [round(float(x), 4) for x in d["map_ins_mu"][k][j]],
+                        "weight": round(float(d["map_ins_w"][k][j]), 6),
+                        "t": float(np.asarray(d["timestamp"]).reshape(-1)[k]),
+                    }) + "\n")

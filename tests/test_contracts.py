@@ -229,8 +229,19 @@ def test_state_and_tape_shapes_match_declared_budgets(small_run):
     assert a.tile_ids.shape == (cfg.atlas_max_tiles,)
 
     state, out = runner._step_jit(state, small_run.batches[0], cfg)
+    # all tape fields are scalar except the fixed-budget per-insertion event
+    # payloads (reference pipeline.py:1393-1410 logs per-insert rows):
+    # (A*Kin,) vectors with id=-1 marking unused rows
+    per_insert = {"map_ins_ids": (), "map_ins_tiles": (), "map_ins_mu": (3,),
+                  "map_ins_w": ()}
+    n_ins = np.asarray(out.tape.map_ins_ids).shape[0]
+    assert n_ins > 0 and n_ins % cfg.k_insert_tile == 0, n_ins
     for f in ScanTape._fields:
-        assert np.asarray(getattr(out.tape, f)).shape == (), f
+        got = np.asarray(getattr(out.tape, f)).shape
+        if f in per_insert:
+            assert got == (n_ins,) + per_insert[f], (f, got)
+        else:
+            assert got == (), f
 
     b = small_run.batches[0]
     assert b.points.shape[0] <= C.N_POINTS_CAP
