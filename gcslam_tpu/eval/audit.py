@@ -48,7 +48,15 @@ def audit_run(out_dir: str) -> Dict:
         check("traj_finite", np.all(np.isfinite(traj)))
         check("traj_monotone_stamps", np.all(np.diff(traj[:, 0]) > 0))
         step = np.linalg.norm(np.diff(traj[:, 1:4], axis=0), axis=1)
-        check("traj_no_teleports", np.all(step < 5.0), f"max step {step.max():.3f} m" if len(step) else "")
+        # Teleport bound derived from the DATA, not a fixed 5 m: the rig's
+        # own speed distribution sets the plausible per-scan displacement.
+        # Robust scale = p95 step; bound = max(8x p95, 0.5 m) covers speed
+        # bursts while catching solver blow-ups on fast AND slow platforms
+        # (a fixed 5 m is wrong for highway rigs and toothless indoors).
+        if len(step):
+            bound = max(8.0 * float(np.percentile(step, 95)), 0.5)
+            check("traj_no_teleports", np.all(step < bound),
+                  f"max step {step.max():.3f} m vs bound {bound:.2f} m (8x p95)")
     except OSError:
         check("traj_finite", False, "trajectory.tum missing")
 
@@ -66,11 +74,20 @@ def audit_run(out_dir: str) -> Dict:
         if "power_beta" in diag:
             b = diag["power_beta"]
             tol = 1e-9 if b.dtype == np.float64 else 1e-5
-            # beta = 0 is the certified non-finite-evidence rejection
-            # (NonFiniteEvidence trigger); otherwise beta >= POWER_BETA_MIN
-            # scaled by the smallest hypothesis trust profile (hyp_diversify)
+            # Taped beta is the hypothesis-WEIGHTED MEAN. Each hypothesis
+            # beta is either >= POWER_BETA_MIN * its trust scale, or exactly
+            # 0 (certified NonFiniteEvidence rejection, e.g. the empty-map
+            # first scan). A scan mixing rejected and live hypotheses can
+            # therefore legitimately land anywhere in [0, beta_lo) — but
+            # ONLY when that scan's trigger mask carries NonFiniteEvidence.
             beta_lo = C.POWER_BETA_MIN * min(C.HYP_BETA_SCALE)
             ok_b = (b >= beta_lo - tol) | (b <= 1e-12)
+            if "cert_triggers" in diag:
+                nfe = (
+                    diag["cert_triggers"].astype(np.int64)
+                    & TRIGGERS["NonFiniteEvidence"]
+                ) != 0
+                ok_b = ok_b | (nfe & (b >= -tol) & (b < beta_lo))
             check("beta_in_range", np.all(ok_b & (b <= 1.0 + tol)))
         if "ee_pose_shift_pred" in diag:
             # ExpectedEffect audit (reference certificates.py:488): the

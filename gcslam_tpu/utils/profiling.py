@@ -58,21 +58,60 @@ def compile_count() -> int:
         return -1
 
 
-def device_runtime_cert(batches, n_host_syncs: int = 1) -> dict:
-    """Numeric DeviceRuntimeCert (reference certificates.py:298-316 +
-    common/runtime_counters.py): host->device bytes actually shipped this
-    run, host-sync count, and the jit-cache size (recompile proxy — a
-    stable pipeline compiles each config exactly once)."""
-    h2d = 0
-    for b in batches:
-        for leaf in jax.tree_util.tree_leaves(b):
-            h2d += getattr(leaf, "nbytes", 0)
-    return {
-        "h2d_bytes": int(h2d),
-        "n_batches": len(batches),
-        "host_syncs": int(n_host_syncs),
-        "jit_cache_entries": compile_count(),
-    }
+class RuntimeCounters:
+    """MEASURED host<->device accounting (reference
+    common/runtime_counters.py:19-103): every transfer the runner performs
+    goes through this ledger — device_put() commits arrays to device and
+    counts the committed buffers' bytes; to_host() materializes device values
+    on host and counts the readback + sync. Nothing is estimated from shapes;
+    what was not routed through the ledger was not transferred by the runner."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.h2d_bytes = 0
+        self.h2d_calls = 0
+        self.d2h_bytes = 0
+        self.host_syncs = 0
+
+    def device_put(self, tree):
+        placed = jax.device_put(tree)
+        for leaf in jax.tree_util.tree_leaves(placed):
+            self.h2d_bytes += int(getattr(leaf, "nbytes", 0))
+        self.h2d_calls += 1
+        return placed
+
+    def to_host(self, x):
+        import numpy as np
+
+        arr = np.asarray(x)
+        self.d2h_bytes += int(arr.nbytes)
+        self.host_syncs += 1
+        return arr
+
+    def sync(self, x) -> None:
+        jax.block_until_ready(x)
+        self.host_syncs += 1
+
+    def cert(self) -> dict:
+        return {
+            "h2d_bytes": int(self.h2d_bytes),
+            "h2d_calls": int(self.h2d_calls),
+            "d2h_bytes": int(self.d2h_bytes),
+            "host_syncs": int(self.host_syncs),
+            "jit_cache_entries": compile_count(),
+        }
+
+
+COUNTERS = RuntimeCounters()
+
+
+def device_runtime_cert() -> dict:
+    """Numeric DeviceRuntimeCert (reference certificates.py:298-316): the
+    measured global transfer/sync ledger + jit-cache size (recompile proxy —
+    a stable pipeline compiles each config exactly once)."""
+    return COUNTERS.cert()
 
 
 @contextlib.contextmanager
