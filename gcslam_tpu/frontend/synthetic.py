@@ -55,6 +55,13 @@ class SyntheticConfig:
     odom_drift_pos_per_m: float = 0.02  # m of drift per m traveled
     odom_drift_yaw_per_m: float = 0.01  # rad of drift per m traveled
     max_range: float = 25.0
+    # Non-identity sensor extrinsics (the Kimera rig regime: T_base_imu
+    # carries a ~92 deg rotation, configs/gc_kimera.yaml). Sensor data is
+    # GENERATED in the sensor frame and then corrected into base exactly the
+    # way the bag frontend does (rosbag.load_bag) — a round-trip exercise of
+    # the rotvec/transform conventions that identity extrinsics never test.
+    T_base_lidar: Tuple[float, ...] = (0.0,) * 6  # [t(3), rotvec(3)]
+    T_base_imu: Tuple[float, ...] = (0.0,) * 6
     # RGB-D camera (config 3): raycast a small pinhole image per scan and run
     # the visual frontend (Harris + depth fusion) to fill the camera slice.
     with_camera: bool = False
@@ -257,6 +264,17 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
     gyro_bias = np.array(cfg.gyro_bias)
     accel_bias = np.array(cfg.accel_bias)
 
+    # Extrinsics: generate in the SENSOR frame, correct into base with the
+    # frontend's exact convention (rosbag.load_bag:414-454 — p_base =
+    # R_bl p_lidar + t_bl; omega_base = R_bi omega_imu). With identity
+    # extrinsics both steps are no-ops.
+    from gcslam_tpu.frontend.rosbag import _rotvec_R
+
+    T_bl = np.asarray(cfg.T_base_lidar, dtype=np.float64)
+    T_bi = np.asarray(cfg.T_base_imu, dtype=np.float64)
+    R_bl, t_bl = _rotvec_R(T_bl[3:6]), T_bl[:3]
+    R_bi = _rotvec_R(T_bi[3:6])
+
     # World model (fixed point cloud on surfaces; resampled per scan)
     batches: List[ScanBatch] = []
     gt_poses = np.zeros((cfg.n_scans, 6))
@@ -286,8 +304,12 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         omega_body = np.stack([np.zeros(n_imu), np.zeros(n_imu), np.broadcast_to(wz_i, (n_imu,))], -1)
         # specific force f_body = R^T (a_world - g)
         f_body = np.einsum("mji,mj->mi", R_i, a_world - g_w[None, :])
-        gyro = omega_body + gyro_bias + rng.normal(0, cfg.gyro_noise_std, (n_imu, 3))
-        accel = f_body + accel_bias + rng.normal(0, cfg.accel_noise_std, (n_imu, 3))
+        # sensor-frame measurement (bias+noise live in the IMU frame), then
+        # the frontend's base-frame correction (rosbag.load_bag:453-454)
+        gyro_s = omega_body @ R_bi + gyro_bias + rng.normal(0, cfg.gyro_noise_std, (n_imu, 3))
+        accel_s = f_body @ R_bi + accel_bias + rng.normal(0, cfg.accel_noise_std, (n_imu, 3))
+        gyro = gyro_s @ R_bi.T
+        accel = accel_s @ R_bi.T
 
         imu_stamps = np.zeros(C.MAX_IMU_PREINT_LEN)
         imu_gyro = np.zeros((C.MAX_IMU_PREINT_LEN, 3))
@@ -306,7 +328,11 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         world_pts, hit = _raycast_room(origins, dirs_world, cfg.max_range)
         p_body = np.einsum("mji,mj->mi", R_t, world_pts - pos_t)
         dist = np.linalg.norm(p_body - np.array([0.0, 0.0, _SENSOR_Z])[None, :], axis=1)
-        p_body = p_body + rng.normal(0, cfg.lidar_noise_std, p_body.shape)
+        # sensor-frame returns (noise is range noise in the LiDAR frame),
+        # then the frontend's base-frame transform (rosbag.load_bag:435)
+        p_lidar = (p_body - t_bl[None, :]) @ R_bl
+        p_lidar = p_lidar + rng.normal(0, cfg.lidar_noise_std, p_lidar.shape)
+        p_body = p_lidar @ R_bl.T + t_bl[None, :]
         weights = range_weights(dist) * hit
 
         # --- odometry (drifting + noisy pose, twist in body frame)

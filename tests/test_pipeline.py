@@ -147,6 +147,148 @@ def test_unobserved_block_iw_stays_bounded():
     assert q1 < 10 * q0, (q0, q1)
 
 
+def test_nonidentity_extrinsics_track():
+    """Kimera-rig regime: sensor data generated in rotated/offset sensor
+    frames, corrected by the frontend convention (rosbag.load_bag:414-454).
+    Tracking quality must match the identity-extrinsics run — a sign/order
+    error in the rotvec convention shows up as gross drift here."""
+    # T_base_imu rotation ~92 deg about x (the real acl_jackal mounting),
+    # T_base_lidar with a 10 cm offset + small tilt.
+    ext = dict(T_base_imu=(-0.016, -0.030, 0.007, -1.603, 0.003, 0.0),
+               T_base_lidar=(-0.065, -0.100, 0.109, -0.003, -0.069, 0.029))
+    errs = {}
+    for name, kw in [("identity", {}), ("kimera", ext)]:
+        run = generate(SyntheticConfig(n_scans=15, n_points=512, seed=7, **kw))
+        cfg = PipelineConfig(**SMALL)
+        _, out = runner.run_bag(run.batches, cfg)
+        poses = np.asarray(out.pose)
+        assert np.all(np.isfinite(poses)), name
+        errs[name] = float(np.linalg.norm(poses[:, :2] - run.gt_poses[:, :2], axis=1).max())
+    assert errs["kimera"] < 2.0 * errs["identity"] + 0.05, errs
+
+
+def test_chunked_matches_stream(small_run):
+    """Chunked replay (lax.scan windows + boundary control) must produce the
+    same trajectory as the per-scan streaming loop — it is the same program,
+    differently dispatched. Remainder handling included (10 = 2x4 + 2).
+
+    Tolerance note: the lax.scan body and the standalone step are separate
+    XLA compilations with different fusion/reduction orders; the ~1e-9
+    rounding difference is amplified by re-association to ~1e-5 over 10
+    scans (measured). 1e-3 still catches any structural state-carry bug,
+    which shows up at 1e-1+."""
+    cfg = PipelineConfig(**SMALL)
+    _, out_stream = runner.run_stream(small_run.batches, cfg)
+    _, out_chunk = runner.run_chunked(small_run.batches, cfg, chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(out_chunk.pose), np.asarray(out_stream.pose), atol=1e-3
+    )
+    assert out_chunk.pose.shape[0] == len(small_run.batches)
+
+
+def test_chunked_loop_closure_fires():
+    """Loop factors produced at chunk boundaries must still fire and be
+    consumed — the feature the chunked mode exists to keep (vs whole-bag
+    lax.scan, which can take no host feedback). Same loitering geometry as
+    test_loop.test_stream_with_loops_runs_and_fires."""
+    from gcslam_tpu.frontend.loop import LoopDetector, LoopConfig
+
+    run = generate(SyntheticConfig(n_scans=60, n_points=1024,
+                                   odom_drift_pos_per_m=0.08,
+                                   odom_drift_yaw_per_m=0.04, seed=0))
+    cfg = PipelineConfig(with_map=False)
+    det = LoopDetector(LoopConfig(keyframe_every=5, min_index_gap=15,
+                                  max_revisit_dist_m=3.0, cooldown_scans=10))
+    _, out = runner.run_chunked(run.batches, cfg, chunk=8, loop_detector=det)
+    poses = np.asarray(out.pose)
+    assert np.isfinite(poses).all()
+    fired = np.asarray(out.tape.io_loop_weight)
+    assert (fired > 0).any(), "no loop factor fired through the chunked path"
+    xy = np.linalg.norm(poses[:, :2] - run.gt_poses[:60, :2], axis=1)
+    assert xy.max() < 1.5
+
+
+def test_lidar_measurement_iw_adapts():
+    """Third measurement-noise IW block (spec contract 6 'noise is a random
+    variable'): the pipeline must FEED LiDAR association-residual suffstats
+    every scan — Sigma_lidar moves off the datasheet prior toward the matched
+    residual scale (reference measurement_noise_iw_jax.py:104-131 via
+    pipeline.py:550-566). (End-to-end the adapted value tracks the TOTAL
+    residual budget — sensor noise + voxel aliasing + map error — under the
+    association's support, so the clean-vs-noisy ORDERING is asserted at the
+    suffstats level in test_lidar_iw_mode_tracks_residual_scale, not here.)"""
+    from gcslam_tpu.ops import iw
+
+    run = generate(SyntheticConfig(n_scans=12, n_points=512, seed=3))
+    cfg = PipelineConfig(**SMALL)
+    state, out = runner.run_bag(run.batches, cfg)
+    Sig_l = np.asarray(iw.measurement_noise_mode(state.meas_iw, 2))
+    assert np.all(np.isfinite(Sig_l))
+    adapted = float(np.trace(Sig_l))
+    prior = float(np.trace(np.asarray(
+        iw.measurement_noise_mode(init_state(cfg).meas_iw, 2))))
+    # the block is WIRED: the mode moved well off the prior
+    assert abs(adapted - prior) / prior > 0.5, (adapted, prior)
+
+
+def test_lidar_iw_mode_tracks_residual_scale():
+    """Repeatedly applying residuals of std s drives the IW mode toward s^2
+    (per axis) — and larger s => larger Sigma. The ordering contract of the
+    adaptive noise loop, tested where it is well-defined."""
+    from gcslam_tpu.ops import iw
+
+    rng = np.random.default_rng(0)
+    modes = []
+    for s in (0.02, 0.1):
+        state = iw.datasheet_measurement_noise()
+        for _ in range(60):
+            r = jnp.asarray(rng.normal(0.0, s, (64, 3)))
+            dPsi, dnu = iw.lidar_meas_suffstats(r, jnp.full((64,), 1.0))
+            state, _ = iw.measurement_iw_apply(state, dPsi, dnu)
+        mode = np.asarray(iw.measurement_noise_mode(state, 2))
+        modes.append(float(np.trace(mode)) / 3.0)
+        # converged within 3x of the injected variance
+        assert 0.3 * s**2 < modes[-1] < 3.0 * s**2, (s, modes[-1])
+    assert modes[1] > modes[0]
+
+
+def test_lidar_iw_feeds_surfel_noise_floor():
+    """The adapted Sigma_lidar must be CONSUMED: a larger sensor_var widens
+    the surfel covariance (lower precision) — closing the loop the reference
+    closes via pipeline.py:550-566."""
+    from gcslam_tpu.ops.surfels import extract_surfels
+
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-2, 2, (512, 3)))
+    t = jnp.zeros(512)
+    w = jnp.ones(512)
+    s_small, _ = extract_surfels(pts, t, w, 64, 0.5, 3,
+                                 sensor_var=jnp.asarray(1e-6))
+    s_big, _ = extract_surfels(pts, t, w, 64, 0.5, 3,
+                               sensor_var=jnp.asarray(1e-2))
+    v = np.asarray(s_small.valid)
+    assert v.any()
+    tr_small = np.trace(np.asarray(s_small.Lambdas)[v], axis1=1, axis2=2)
+    tr_big = np.trace(np.asarray(s_big.Lambdas)[v], axis1=1, axis2=2)
+    assert np.all(tr_big <= tr_small + 1e-9)
+    assert tr_big.mean() < 0.9 * tr_small.mean()
+
+
+def test_lidar_iw_suffstats_support_weighting():
+    """Zero matched mass must contribute ~no pseudo-observation (the map-empty
+    startup case); full mass contributes dnu ~= 1 (reference dnu=1/scan)."""
+    from gcslam_tpu.ops import iw
+
+    r = jnp.ones((8, 3)) * 0.1
+    dPsi0, dnu0 = iw.lidar_meas_suffstats(r, jnp.zeros((8,)))
+    assert float(dnu0[2]) < 1e-6
+    assert float(np.abs(np.asarray(dPsi0)).max()) < 1e-6
+    dPsi1, dnu1 = iw.lidar_meas_suffstats(r, jnp.full((8,), 10.0))
+    assert float(dnu1[2]) > 0.99
+    np.testing.assert_allclose(np.asarray(dPsi1[2]), float(dnu1[2]) * 0.01 * np.ones((3, 3)),
+                               rtol=1e-6)
+
+
 def test_hypothesis_diversification(small_run):
     """hyp_diversify runs distinct evidence-trust profiles: beliefs separate,
     weights move toward the best-fitting profile; with it off, hypotheses
