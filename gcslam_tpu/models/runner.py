@@ -185,7 +185,17 @@ def run_chunked(
     detection latency for loop closures.
 
     The final len(batches) % chunk scans run through the per-scan jitted step
-    (a second, smaller compile — paid once)."""
+    (a second, smaller compile — paid once).
+
+    Dispatch discipline: through a remote-TPU tunnel EVERY device op issued
+    from the host costs an RPC round trip (measured ~40-90 ms — vs ~0.1 ms
+    on locally-attached hardware), so the steady-state loop must issue
+    exactly ONE program per chunk. All windows are pre-stacked and reshaped
+    to (n_chunks, chunk, ...) up front; the per-chunk program takes the whole
+    window tensor plus a chunk index and `lax.dynamic_index_in_dim`s its
+    window on device. The loop factor rides in as three small arguments
+    merged into the window head inside the program (weight 0 = keep the
+    window's own channel), so loop injection never retraces."""
     import numpy as np
 
     from gcslam_tpu.utils.profiling import COUNTERS
@@ -195,37 +205,45 @@ def run_chunked(
         state = init_state(config)
     outs = []
     n = len(batches)
-    n_full = (n // chunk) * chunk
-    pending_loop = None  # (pose, cov, weight) detected at the last boundary
-    for c0 in range(0, n_full, chunk):
-        window = batches[c0:c0 + chunk]
-        if pending_loop is not None:
-            lp, lc, lw = pending_loop
-            b0 = window[0]
-            window[0] = b0._replace(
-                loop_pose=jax.numpy.asarray(lp, dtype=b0.loop_pose.dtype),
-                loop_cov=jax.numpy.asarray(lc, dtype=b0.loop_cov.dtype),
-                loop_weight=jax.numpy.asarray(lw, dtype=b0.loop_weight.dtype),
-            )
-            pending_loop = None
-        stacked = COUNTERS.device_put(stack_scan_batches(window))
-        state, out = run_scan(state, stacked, config)
+    n_chunks = n // chunk
+    n_full = n_chunks * chunk
+    if n_chunks:
+        windows = COUNTERS.device_put(jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]),
+            stack_scan_batches(batches[:n_full]),
+        ))
+    lp = np.zeros(6)
+    lc = np.eye(6)
+    lw = 0.0
+    for c in range(n_chunks):
+        state, out = _chunk_jit(
+            state, windows, c,
+            jax.numpy.asarray(lp), jax.numpy.asarray(lc), jax.numpy.asarray(lw),
+            config,
+        )
+        lp, lc, lw = np.zeros(6), np.eye(6), 0.0
         outs.append(out)
         if loop_detector is not None:
             # boundary work: store this chunk's keyframes, then probe a loop
             # for the next chunk's head pose
             poses = COUNTERS.to_host(out.pose)  # (chunk, 6)
-            for j, b in enumerate(window):
+            for j in range(chunk):
+                i = c * chunk + j
+                if i % loop_detector.cfg.keyframe_every:
+                    continue  # store() drops non-keyframes; skip their d2h
+                b = batches[i]
                 loop_detector.store(
-                    c0 + j, poses[j], np.asarray(b.points),
+                    i, poses[j], np.asarray(b.points),
                     np.asarray(b.point_weights), None,
                 )
-            if c0 + chunk < n:
-                nb = batches[c0 + chunk]
-                pending_loop = loop_detector.detect(
-                    c0 + chunk, poses[-1], np.asarray(nb.points),
+            if (c + 1) * chunk < n:
+                nb = batches[(c + 1) * chunk]
+                pending = loop_detector.detect(
+                    (c + 1) * chunk, poses[-1], np.asarray(nb.points),
                     np.asarray(nb.point_weights),
                 )
+                if pending is not None:
+                    lp, lc, lw = pending
     # remainder through the per-scan step
     for i in range(n_full, n):
         state, out = _step_jit(state, COUNTERS.device_put(batches[i]), config)
@@ -234,3 +252,26 @@ def run_chunked(
         lambda *xs: jax.numpy.concatenate(xs, axis=0), *outs
     )
     return state, stacked
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def _chunk_jit(state, windows, c, loop_pose, loop_cov, loop_weight, config):
+    """One chunk = ONE device program: slice window `c` out of the
+    pre-staged (n_chunks, chunk, ...) batch tensor, merge the boundary loop
+    factor into the window's first scan (no-op when weight == 0 — the
+    window keeps any factor the replay already carries), lax.scan it."""
+    jnp = jax.numpy
+    w = jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, c, 0, keepdims=False), windows
+    )
+    inject = loop_weight > 0
+    w = w._replace(
+        loop_pose=w.loop_pose.at[0].set(jnp.where(
+            inject, loop_pose.astype(w.loop_pose.dtype), w.loop_pose[0])),
+        loop_cov=w.loop_cov.at[0].set(jnp.where(
+            inject, loop_cov.astype(w.loop_cov.dtype), w.loop_cov[0])),
+        loop_weight=w.loop_weight.at[0].set(jnp.where(
+            inject, jnp.asarray(loop_weight, w.loop_weight.dtype),
+            w.loop_weight[0])),
+    )
+    return jax.lax.scan(lambda s, b: scan_step(s, b, config), state, w)

@@ -131,3 +131,93 @@ def test_inspect_bag_deep(bag, tmp_path):
     out_json = str(tmp_path / "summary.json")
     assert main([bag, "--json", out_json]) == 0
     assert json.load(open(out_json))["topics"]
+
+
+def test_inspect_odom_source(bag, capsys):
+    from gcslam_tpu.tools.inspect_odom_source import inspect_odom_source, main
+
+    info = inspect_odom_source(bag)
+    assert info["topic"] == "/odom"
+    assert info["frame_id"] == "odom" and info["child_frame_id"] == "base"
+    assert 15.0 < info["rate_hz"] < 25.0
+    assert info["quat_unit_norm"]
+    # _make_bag's odometry carries zero twists => pose-only verdict
+    assert info["twist_dead"] and info["verdict"].startswith("POSE_ONLY")
+    assert main([bag]) == 0
+    assert "POSE_ONLY" in capsys.readouterr().out
+
+
+def _make_turn_bag(path: str, gyro_sign: float) -> None:
+    """IMU+odom-only bag with one 2 s CCW turn (wz=+0.5).  gyro_sign=-1
+    emits a flipped gyro Z — the failure check_turn_invariant must catch."""
+    import sqlite3
+
+    from gcslam_tpu.frontend import cdr
+
+    conn = sqlite3.connect(path)
+    conn.executescript(
+        """
+        CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,
+                            serialization_format TEXT, offered_qos_profiles TEXT);
+        CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,
+                              timestamp INTEGER, data BLOB);
+        """
+    )
+    conn.executemany(
+        "INSERT INTO topics VALUES (?,?,?,?,?)",
+        [(1, "/imu/data", "sensor_msgs/msg/Imu", "cdr", ""),
+         (2, "/odom", "nav_msgs/msg/Odometry", "cdr", "")],
+    )
+    rng = np.random.default_rng(1)
+    rows = []
+    wz, speed = 0.5, 0.3  # CCW turn: centripetal accel +y in base = wz*speed
+    for i in range(800):  # 200 Hz, 4 s: 1 s still, 2 s turning, 1 s still
+        t = 50.0 + i / 200.0
+        turning = 1.0 <= (t - 50.0) < 3.0
+        msg = cdr.Imu(
+            header=cdr.Header(t, "imu"),
+            orientation=np.array([0, 0, 0, 1.0]),
+            angular_velocity=np.array([0, 0, gyro_sign * wz if turning else 0])
+            + rng.normal(0, 1e-3, 3),
+            linear_acceleration=np.array(
+                [0, wz * speed if turning else 0, 9.81]) + rng.normal(0, 0.02, 3),
+        )
+        rows.append((1, int(t * 1e9), cdr.serialize_imu(msg)))
+    for i in range(80):  # 20 Hz odometry with matching yaw rate
+        t = 50.0 + i / 20.0
+        turning = 1.0 <= (t - 50.0) < 3.0
+        msg = cdr.Odometry(
+            header=cdr.Header(t, "odom"), child_frame_id="base",
+            position=np.zeros(3), orientation=np.array([0, 0, 0, 1.0]),
+            pose_cov=np.eye(6).reshape(-1) * 1e-4,
+            twist_linear=np.array([speed if turning else 0, 0, 0]),
+            twist_angular=np.array([0, 0, wz if turning else 0]),
+            twist_cov=np.eye(6).reshape(-1) * 1e-4,
+        )
+        rows.append((2, int(t * 1e9), cdr.serialize_odometry(msg)))
+    conn.executemany(
+        "INSERT INTO messages(topic_id, timestamp, data) VALUES (?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+
+def test_check_turn_invariant(bag, tmp_path):
+    from gcslam_tpu.tools.check_turn_invariant import check_turn_invariant, main
+
+    # stationary rig bag: no turn windows, tool passes vacuously
+    info = check_turn_invariant(bag)
+    assert info["verdict"] == "NO_TURNS"
+
+    good = str(tmp_path / "turn.db3")
+    _make_turn_bag(good, gyro_sign=+1.0)
+    info = check_turn_invariant(good)
+    assert info["verdict"] == "OK" and info["n_turn_windows"] >= 1
+    w = info["windows"][0]
+    assert w["signs_agree"] and w["accel_base_y_mean"] > 0.05
+    assert main([good]) == 0
+
+    flipped = str(tmp_path / "flip.db3")
+    _make_turn_bag(flipped, gyro_sign=-1.0)
+    info = check_turn_invariant(flipped)
+    assert info["verdict"] == "GYRO_Z_FLIPPED"
+    assert main([flipped, "--json"]) == 1
