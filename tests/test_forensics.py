@@ -221,3 +221,196 @@ def test_check_turn_invariant(bag, tmp_path):
     info = check_turn_invariant(flipped)
     assert info["verdict"] == "GYRO_Z_FLIPPED"
     assert main([flipped, "--json"]) == 1
+
+
+def test_diagnose_gyro_composition():
+    from gcslam_tpu.tools.diagnose_gyro_composition import (
+        diagnose_gyro_composition, main)
+
+    info = diagnose_gyro_composition()
+    assert info["verdict"] == "OK"
+    for pr in info["gyro_probes"]:
+        assert pr["same_direction"] and pr["increment_error_deg"] < 0.5
+    assert info["odom_relative_probe"]["same_direction"]
+    assert main(["--json"]) == 0
+
+
+def _make_plane_bag(path: str, tilt_deg: float) -> None:
+    """LiDAR-only bag: dense ground plane at z=-0.5 + two pillars, optionally
+    rotated tilt_deg about x (an angled mount)."""
+    import sqlite3
+
+    from gcslam_tpu.frontend import cdr
+
+    conn = sqlite3.connect(path)
+    conn.executescript(
+        """
+        CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,
+                            serialization_format TEXT, offered_qos_profiles TEXT);
+        CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,
+                              timestamp INTEGER, data BLOB);
+        """
+    )
+    conn.execute("INSERT INTO topics VALUES (1, '/points', "
+                 "'sensor_msgs/msg/PointCloud2', 'cdr', '')")
+    rng = np.random.default_rng(3)
+    th = np.radians(tilt_deg)
+    R = np.array([[1, 0, 0],
+                  [0, np.cos(th), -np.sin(th)],
+                  [0, np.sin(th), np.cos(th)]])
+    fields = [cdr.PointField("x", 0, 7, 1), cdr.PointField("y", 4, 7, 1),
+              cdr.PointField("z", 8, 7, 1)]
+    rows = []
+    for k in range(8):
+        ground = np.column_stack([rng.uniform(-6, 6, 600),
+                                  rng.uniform(-6, 6, 600),
+                                  rng.normal(-0.5, 0.01, 600)])
+        pil = np.column_stack([rng.normal(3, 0.05, 100),
+                               rng.normal(1, 0.05, 100),
+                               rng.uniform(-0.5, 1.5, 100)])
+        pts = (np.vstack([ground, pil]) @ R.T).astype("<f4")
+        msg = cdr.PointCloud2(
+            header=cdr.Header(10.0 + 0.1 * k, "lidar"), height=1,
+            width=len(pts), fields=fields, is_bigendian=False, point_step=12,
+            row_step=12 * len(pts), data=pts.tobytes(), is_dense=True)
+        rows.append((1, int((10.0 + 0.1 * k) * 1e9),
+                     cdr.serialize_pointcloud2(msg)))
+    conn.executemany(
+        "INSERT INTO messages(topic_id, timestamp, data) VALUES (?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+
+def test_check_lidar_mount_angle(tmp_path):
+    from gcslam_tpu.tools.check_lidar_mount_angle import (
+        check_lidar_mount_angle, main)
+
+    flat = str(tmp_path / "flat.db3")
+    _make_plane_bag(flat, tilt_deg=0.0)
+    info = check_lidar_mount_angle(flat, skip=0, n_scans=5)
+    assert info["verdict"] == "HORIZONTAL", info
+    assert info["ground_tilt_deg"] < 5.0
+    assert main([flat, "--skip", "0"]) == 0
+
+    tilted = str(tmp_path / "tilt.db3")
+    _make_plane_bag(tilted, tilt_deg=40.0)
+    info = check_lidar_mount_angle(tilted, skip=0, n_scans=5)
+    assert info["verdict"] == "ANGLED", info
+    assert 30.0 < info["ground_tilt_deg"] < 50.0
+
+
+def test_compare_imu_sources(bag):
+    from gcslam_tpu.tools.compare_imu_sources import compare_imu_sources, main
+
+    info = compare_imu_sources(bag)
+    assert info["recommended"] == "/imu/data"
+    src = info["sources"]["/imu/data"]
+    # stationary +9.81z IMU: aligned with up, m/s^2 units, no dropouts
+    assert src["misalignment_deg"] < 3.0
+    assert src["accel_units_guess"] == "m/s^2"
+    assert src["dropouts"] == 0
+    assert 150 < src["rate_hz"] < 250
+    assert main([bag]) == 0
+
+
+def test_dump_and_plot_wz(bag, tmp_path):
+    from gcslam_tpu.tools.dump_raw_imu_odom import dump_raw_imu_odom
+    from gcslam_tpu.tools.plot_wz_odom import load_wz, main as plot_main
+
+    info = dump_raw_imu_odom(bag, str(tmp_path), max_imu=50, max_odom=10)
+    assert "imu_csv" in info and "odom_csv" in info
+    with open(info["imu_csv"]) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("stamp_sec,") and len(lines) == 51
+
+    t, wz = load_wz(info["odom_csv"])
+    assert len(t) == 10 and np.all(np.isfinite(wz))
+    out = str(tmp_path / "wz.png")
+    assert plot_main([info["odom_csv"], "--out", out]) == 0
+    assert (tmp_path / "wz.png").stat().st_size > 1000
+    # bag input path too
+    t2, wz2 = load_wz(bag)
+    np.testing.assert_allclose(wz2[:10], wz, atol=1e-12)
+
+
+def test_first_n_messages_summary(bag, tmp_path):
+    from gcslam_tpu.tools.first_n_messages_summary import (
+        first_n_messages_summary, main)
+
+    info = first_n_messages_summary(bag, n=2)
+    assert set(info["topics"]) == {"/lidar/points", "/imu/data", "/odom"}
+    pc = info["topics"]["/lidar/points"]["messages"][0]
+    assert {f["name"] for f in pc["fields"]} >= {"x", "y", "z", "ring"}
+    assert pc["first_point_xyz"] is not None
+    od = info["topics"]["/odom"]["messages"][0]
+    assert od["child_frame_id"] == "base" and len(od["pose_cov_diag"]) == 6
+    out = str(tmp_path / "s.json")
+    assert main([bag, "--json", out]) == 0
+    assert json.load(open(out))["topics"]
+
+
+def test_kimera_calibration_to_gc(tmp_path):
+    from gcslam_tpu.tools.kimera_calibration_to_gc import (
+        convert, apply_to_config, main)
+
+    # 90-deg yaw + translation for the lidar; identity gyro at an offset
+    ext = tmp_path / "extrinsics.yaml"
+    ext.write_text(
+        "transforms:\n"
+        "  - name: T_baselink_lidar\n"
+        "    T: [[0, -1, 0, 0.1], [1, 0, 0, -0.2], [0, 0, 1, 0.3], [0, 0, 0, 1]]\n"
+        "  - name: T_cameralink_gyro\n"
+        "    T: [[1, 0, 0, 0.01], [0, 1, 0, 0.02], [0, 0, 1, 0.03], [0, 0, 0, 1]]\n"
+    )
+    out = convert(str(ext))
+    np.testing.assert_allclose(out["T_base_lidar"][:3], [0.1, -0.2, 0.3])
+    np.testing.assert_allclose(out["T_base_lidar"][3:], [0, 0, np.pi / 2],
+                               atol=1e-5)
+    np.testing.assert_allclose(out["T_base_imu"], [0.01, 0.02, 0.03, 0, 0, 0],
+                               atol=1e-9)
+    # override the IMU rotation with a bag estimate
+    out2 = convert(str(ext), imu_rotation=[-1.6, 0.0, 0.1])
+    assert out2["T_base_imu"][3:] == [-1.6, 0.0, 0.1]
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("frontend:\n"
+                   "  T_base_lidar: [0, 0, 0, 0, 0, 0]\n"
+                   "  T_base_imu: [0, 0, 0, 0, 0, 0]\n")
+    replaced = apply_to_config(str(cfg), out)
+    assert set(replaced) == {"T_base_lidar", "T_base_imu"}
+    assert "0.100000" in cfg.read_text()
+    assert main([str(ext), "--apply", "--config", str(cfg)]) == 0
+
+
+def test_evaluate_trajectory_2d(tmp_path):
+    from gcslam_tpu.outputs.tum import write_tum
+    from gcslam_tpu.tools.evaluate_trajectory_2d import (
+        evaluate_trajectory_2d, main)
+
+    t = np.linspace(0, 10, 60)
+    gt = np.zeros((60, 6))
+    gt[:, 0] = np.cos(t * 0.5) * 3
+    gt[:, 1] = np.sin(t * 0.5) * 3
+    gt[:, 2] = 0.85  # constant GT height: must not pollute the 2D score
+    gt[:, 5] = t * 0.5 + np.pi / 2
+    est = gt.copy()
+    # rigid SE(2) offset + small noise + garbage z: 2D alignment removes all
+    # but the noise
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    est[:, :2] = gt[:, :2] @ R.T + [5.0, -2.0]
+    est[:, 5] += th
+    est[:, 2] = np.linspace(0, 4, 60)  # meaningless wheel-odometry z
+    rng = np.random.default_rng(0)
+    est[:, :2] += rng.normal(0, 0.01, (60, 2))
+    g_path, e_path = str(tmp_path / "gt.tum"), str(tmp_path / "est.tum")
+    write_tum(g_path, t, gt)
+    write_tum(e_path, t, est)
+
+    info = evaluate_trajectory_2d(e_path, g_path)
+    assert info["n_pairs"] == 60
+    assert abs(abs(info["align"]["theta_deg"]) - np.degrees(th)) < 2.0
+    assert info["ate_2d"]["rmse"] < 0.05  # z garbage + SE2 offset removed
+    assert info["yaw_deg"]["rmse"] < 2.0
+    out = str(tmp_path / "p.png")
+    assert main([e_path, g_path, "--plot", out, "--json"]) == 0
