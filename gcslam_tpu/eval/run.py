@@ -53,6 +53,12 @@ def main(argv=None) -> dict:
                    help="RGB-D camera + visual frontend (default: config file else off)")
     p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
                    help="synthetic trajectory shape")
+    p.add_argument("--odom-model", default="additive",
+                   choices=["additive", "integrated"],
+                   help="synthetic wheel-odometry error model: additive "
+                        "drift on the true pose, or dead-reckoned "
+                        "(integrated) odometry whose heading error bends "
+                        "the trajectory — the realistic encoder regime")
     p.add_argument("--config", default=None,
                    help="YAML/JSON PipelineConfig file (configs/gc_default.yaml)")
     p.add_argument("--precision", default=None, choices=["f32", "f64"],
@@ -184,6 +190,7 @@ def main(argv=None) -> dict:
                 seed=args.seed,
                 trajectory=args.trajectory,
                 with_camera=args.camera,
+                odom_model=args.odom_model,
             )
         )
         batches, gt_poses, gt_times = run.batches, run.gt_poses, run.gt_times

@@ -54,6 +54,17 @@ class SyntheticConfig:
     # per meter of travel the odom frame slips and rotates.
     odom_drift_pos_per_m: float = 0.02  # m of drift per m traveled
     odom_drift_yaw_per_m: float = 0.01  # rad of drift per m traveled
+    # Odometry error model:
+    #  - "additive": drift random walk added to the TRUE pose — position and
+    #    yaw errors stay independent. Simple, but unrealistically kind to
+    #    raw odometry: a robot whose heading is 18 deg wrong still reports
+    #    near-perfect positions.
+    #  - "integrated": dead-reckoned wheel odometry (what real encoders do,
+    #    reference tools/dead_reckon_odom_dump.py): each scan's measured
+    #    body-frame step is composed onto the PREVIOUS odom pose, so heading
+    #    error bends the whole trajectory from there on (the "banana").
+    #    Position error grows ~ sigma_yaw * path; SLAM must beat this.
+    odom_model: str = "additive"
     max_range: float = 25.0
     # Non-identity sensor extrinsics (the Kimera rig regime: T_base_imu
     # carries a ~92 deg rotation, configs/gc_kimera.yaml). Sensor data is
@@ -283,6 +294,8 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
     t_last_scan = 0.0
     odom_drift = np.zeros(3)  # [dx, dy, dyaw] accumulated random walk
     prev_pos = np.zeros(3)
+    prev_yaw_true = 0.0
+    odom_dr_pos, odom_dr_yaw = np.zeros(3), 0.0  # dead-reckoned odom state
     cum_dist = 0.0
     for k in range(cfg.n_scans):
         t_scan = (k + 1) * scan_dt  # scan header stamp = window end
@@ -337,13 +350,33 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
 
         # --- odometry (drifting + noisy pose, twist in body frame)
         dist_step = float(np.linalg.norm(pos - prev_pos))
+        step_scale = np.sqrt(max(dist_step, 0.0))
+        if cfg.odom_model == "integrated":
+            # Dead-reckoned wheel odometry: compose the MEASURED body-frame
+            # step onto the previous odom pose. Heading error bends every
+            # subsequent position — the real encoder error mode.
+            dp_true = _yaw_R(np.asarray(prev_yaw_true)).T @ (pos - prev_pos)
+            dyaw_true = yaw - prev_yaw_true
+            dp_meas = dp_true + np.array([1.0, 1.0, 0.0]) * rng.normal(
+                0, cfg.odom_drift_pos_per_m * step_scale, 3)
+            dyaw_meas = dyaw_true + rng.normal(
+                0, cfg.odom_drift_yaw_per_m * step_scale)
+            if k == 0:
+                odom_dr_pos, odom_dr_yaw = pos.copy(), float(yaw)
+            else:
+                odom_dr_pos = odom_dr_pos + _yaw_R(np.asarray(odom_dr_yaw)) @ dp_meas
+                odom_dr_yaw = odom_dr_yaw + dyaw_meas
+            odom_pos = odom_dr_pos + rng.normal(0, cfg.odom_pos_noise_std / 10, 3)
+            odom_yaw = odom_dr_yaw + rng.normal(0, cfg.odom_yaw_noise_std / 10)
+        else:
+            odom_drift[:2] += rng.normal(0, cfg.odom_drift_pos_per_m * step_scale, 2)
+            odom_drift[2] += rng.normal(0, cfg.odom_drift_yaw_per_m * step_scale)
+            odom_pos = pos + np.array([odom_drift[0], odom_drift[1], 0.0]) + rng.normal(
+                0, cfg.odom_pos_noise_std, 3
+            )
+            odom_yaw = yaw + odom_drift[2] + rng.normal(0, cfg.odom_yaw_noise_std)
+        prev_yaw_true = float(yaw)
         prev_pos = pos.copy()
-        odom_drift[:2] += rng.normal(0, cfg.odom_drift_pos_per_m * np.sqrt(max(dist_step, 0)), 2)
-        odom_drift[2] += rng.normal(0, cfg.odom_drift_yaw_per_m * np.sqrt(max(dist_step, 0)))
-        odom_pos = pos + np.array([odom_drift[0], odom_drift[1], 0.0]) + rng.normal(
-            0, cfg.odom_pos_noise_std, 3
-        )
-        odom_yaw = yaw + odom_drift[2] + rng.normal(0, cfg.odom_yaw_noise_std)
         odom_pose_now = np.concatenate([odom_pos, [0.0, 0.0, odom_yaw]])
         if k == 0:
             odom_rel = np.zeros(6)
@@ -373,6 +406,10 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         cum_dist += dist_step
         drift_p_cum = cfg.odom_drift_pos_per_m**2 * cum_dist
         drift_y_cum = cfg.odom_drift_yaw_per_m**2 * cum_dist
+        if cfg.odom_model == "integrated":
+            # heading random walk leaks into position ~ sigma_yaw(s)*path:
+            # Var[p] ~ sigma_yaw_per_m^2 * integral_0^S (S-u)^2 du = y_var*S^3/3
+            drift_p_cum += cfg.odom_drift_yaw_per_m**2 * cum_dist**3 / 3.0
         odom_cov = np.diag(
             [cfg.odom_pos_noise_std**2 + drift_p_cum] * 3
             + [cfg.odom_yaw_noise_std**2 + drift_y_cum] * 3

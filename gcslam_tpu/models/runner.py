@@ -188,14 +188,19 @@ def run_chunked(
     (a second, smaller compile — paid once).
 
     Dispatch discipline: through a remote-TPU tunnel EVERY device op issued
-    from the host costs an RPC round trip (measured ~40-90 ms — vs ~0.1 ms
-    on locally-attached hardware), so the steady-state loop must issue
-    exactly ONE program per chunk. All windows are pre-stacked and reshaped
-    to (n_chunks, chunk, ...) up front; the per-chunk program takes the whole
-    window tensor plus a chunk index and `lax.dynamic_index_in_dim`s its
-    window on device. The loop factor rides in as three small arguments
-    merged into the window head inside the program (weight 0 = keep the
-    window's own channel), so loop injection never retraces."""
+    from the host costs an RPC round trip, so the steady-state loop must
+    issue exactly ONE program per chunk. All windows are pre-stacked and
+    reshaped to (n_chunks, chunk, ...) up front; the per-chunk program takes
+    the whole window tensor plus a chunk index and
+    `lax.dynamic_index_in_dim`s its window on device. The loop factor rides
+    in as three small arguments merged into the window head inside the
+    program (weight 0 = keep the window's own channel), so loop injection
+    never retraces.
+
+    `batches` may also be an already-stacked ScanBatch (leading time axis, as
+    produced by stack_scan_batches / a live frontend's staging ring buffer):
+    the per-scan host stacking — the dominant steady-state host cost, ~25
+    concat dispatches over the whole bag — is then skipped entirely."""
     import numpy as np
 
     from gcslam_tpu.utils.profiling import COUNTERS
@@ -204,13 +209,27 @@ def run_chunked(
     if state is None:
         state = init_state(config)
     outs = []
-    n = len(batches)
+    # a stacked ScanBatch is itself a (Named)tuple — detect by type, not shape
+    pre_stacked = isinstance(batches, ScanBatch)
+    if pre_stacked:
+        stacked_all = batches
+        n = int(stacked_all.points.shape[0])
+
+        def batch_at(i: int) -> ScanBatch:
+            return jax.tree_util.tree_map(lambda x: x[i], stacked_all)
+    else:
+        n = len(batches)
+
+        def batch_at(i: int) -> ScanBatch:
+            return batches[i]
+
     n_chunks = n // chunk
     n_full = n_chunks * chunk
     if n_chunks:
+        head = (jax.tree_util.tree_map(lambda x: x[:n_full], stacked_all)
+                if pre_stacked else stack_scan_batches(batches[:n_full]))
         windows = COUNTERS.device_put(jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]),
-            stack_scan_batches(batches[:n_full]),
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), head,
         ))
     lp = np.zeros(6)
     lc = np.eye(6)
@@ -231,13 +250,13 @@ def run_chunked(
                 i = c * chunk + j
                 if i % loop_detector.cfg.keyframe_every:
                     continue  # store() drops non-keyframes; skip their d2h
-                b = batches[i]
+                b = batch_at(i)
                 loop_detector.store(
                     i, poses[j], np.asarray(b.points),
                     np.asarray(b.point_weights), None,
                 )
             if (c + 1) * chunk < n:
-                nb = batches[(c + 1) * chunk]
+                nb = batch_at((c + 1) * chunk)
                 pending = loop_detector.detect(
                     (c + 1) * chunk, poses[-1], np.asarray(nb.points),
                     np.asarray(nb.point_weights),
@@ -246,7 +265,7 @@ def run_chunked(
                     lp, lc, lw = pending
     # remainder through the per-scan step
     for i in range(n_full, n):
-        state, out = _step_jit(state, COUNTERS.device_put(batches[i]), config)
+        state, out = _step_jit(state, COUNTERS.device_put(batch_at(i)), config)
         outs.append(jax.tree_util.tree_map(lambda x: jax.numpy.expand_dims(x, 0), out))
     stacked = jax.tree_util.tree_map(
         lambda *xs: jax.numpy.concatenate(xs, axis=0), *outs

@@ -307,3 +307,43 @@ def test_hypothesis_diversification(small_run):
     assert abs(w.sum() - 1.0) < 1e-9 and w.min() >= 0
     # weights moved off the uniform prior
     assert np.abs(w - 0.25).max() > 1e-4
+
+
+def test_chunked_stacked_input_matches_list(small_run):
+    """run_chunked must accept an already-stacked ScanBatch (the live
+    frontend's staging ring buffer) and produce the identical trajectory —
+    the host stacking is pure data motion, not semantics."""
+    from gcslam_tpu.models.scan_io import stack_scan_batches
+
+    cfg = PipelineConfig(**SMALL)
+    _, out_list = runner.run_chunked(small_run.batches, cfg, chunk=4)
+    stacked = stack_scan_batches(small_run.batches)
+    _, out_stacked = runner.run_chunked(stacked, cfg, chunk=4)
+    np.testing.assert_array_equal(
+        np.asarray(out_list.pose), np.asarray(out_stacked.pose))
+    # remainder path too (10 scans, chunk=4 => 2 through _step_jit)
+    assert out_stacked.pose.shape[0] == len(small_run.batches)
+
+
+def test_integrated_odom_is_dead_reckoned():
+    """odom_model='integrated' must produce odometry that IS the composition
+    of its own per-scan relative measurements (the encoder property): the
+    reported odom z-yaw chain re-integrates to the reported poses, and
+    heading drift therefore bends position (additive mode keeps them
+    independent)."""
+    run = generate(SyntheticConfig(n_scans=80, n_points=256,
+                                   odom_model="integrated",
+                                   odom_pos_noise_std=0.0,
+                                   odom_yaw_noise_std=0.0, seed=2))
+    odom = np.stack([np.asarray(b.odom_pose) for b in run.batches])
+    rels = [np.asarray(b.odom_rel_pose) for b in run.batches]
+    # dead-reckon the relative chain from the first reported pose
+    p = odom[0].copy()
+    for k in range(1, len(rels)):
+        yaw = p[5]
+        Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                       [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+        p = np.concatenate([p[:3] + Rz @ rels[k][:3],
+                            [0.0, 0.0, p[5] + rels[k][5]]])
+        np.testing.assert_allclose(p[:3], odom[k, :3], atol=1e-9)
+        np.testing.assert_allclose(p[5], odom[k, 5], atol=1e-9)
