@@ -54,6 +54,17 @@ def main() -> None:
 
     import numpy as np
     import gcslam_tpu  # noqa: F401 (x64 on)
+
+    # HONEST-TIMING GUARD (critical on the axon remote-TPU tunnel): before
+    # the first device->host read, block_until_ready returns at ENQUEUE time,
+    # not completion — wall-clock "latencies" are fiction (a 50-scan replay
+    # "measured" 0.7 ms that actually executes in ~4.5 s). One tiny d2h
+    # switches the runtime to synchronous mode where wall times are real.
+    # Verified by compile+N-runs deltas matching post-d2h timings.
+    from gcslam_tpu.utils.profiling import force_sync_timing
+
+    force_sync_timing()
+
     from gcslam_tpu.models.config import PipelineConfig
     from gcslam_tpu.models import runner
     from gcslam_tpu.models.scan_step import init_state

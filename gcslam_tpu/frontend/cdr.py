@@ -198,6 +198,23 @@ class CompressedImage:
 
 
 @dataclass
+class CameraInfo:
+    """sensor_msgs/msg/CameraInfo (intrinsics live on the bag, not just the
+    calibration YAML — reference camera_rgbd_node.cpp subscribes it)."""
+
+    header: Header
+    height: int
+    width: int
+    distortion_model: str
+    d: np.ndarray  # (n,) distortion coefficients
+    k: np.ndarray  # (9,) row-major 3x3 intrinsics
+    r: np.ndarray  # (9,)
+    p: np.ndarray  # (12,) projection
+    binning_x: int = 0
+    binning_y: int = 0
+
+
+@dataclass
 class Odometry:
     header: Header
     child_frame_id: str
@@ -315,6 +332,39 @@ def serialize_compressed_image(msg: CompressedImage) -> bytes:
     _write_header(w, msg.header.stamp_sec, msg.header.frame_id)
     w.string(msg.format)
     w.byte_seq(msg.data)
+    return w.tobytes()
+
+
+def parse_camera_info(buf: bytes) -> CameraInfo:
+    r = CdrReader(buf)
+    h = _read_header(r)
+    height, width = r.u32(), r.u32()
+    model = r.string()
+    n_d = r.u32()  # d is a sequence; k/r/p are fixed-size arrays
+    d = r.f64_array(n_d)
+    k = r.f64_array(9)
+    rm = r.f64_array(9)
+    p = r.f64_array(12)
+    bx, by = r.u32(), r.u32()
+    return CameraInfo(h, height, width, model, d, k, rm, p, bx, by)
+
+
+def serialize_camera_info(msg: CameraInfo) -> bytes:
+    w = CdrWriter()
+    _write_header(w, msg.header.stamp_sec, msg.header.frame_id)
+    w.u32(msg.height)
+    w.u32(msg.width)
+    w.string(msg.distortion_model)
+    w.u32(len(np.asarray(msg.d)))
+    w.f64_array(msg.d)
+    w.f64_array(msg.k)
+    w.f64_array(msg.r)
+    w.f64_array(msg.p)
+    w.u32(msg.binning_x)
+    w.u32(msg.binning_y)
+    # roi: x_offset, y_offset, height, width, do_rectify
+    w.u32(0), w.u32(0), w.u32(0), w.u32(0)
+    w.u8(0)
     return w.tobytes()
 
 

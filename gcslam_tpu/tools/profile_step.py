@@ -95,6 +95,9 @@ def main(argv=None) -> dict:
         pass
 
     # steady-state timing
+    from gcslam_tpu.utils.profiling import force_sync_timing
+
+    force_sync_timing()  # block_until_ready lies pre-d2h on remote tunnels
     timer = StepTimer()
     out = None
     state_r = state

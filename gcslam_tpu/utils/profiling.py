@@ -21,6 +21,21 @@ from typing import List
 import jax
 
 
+def force_sync_timing() -> None:
+    """Make wall-clock timing honest on remote-device runtimes.
+
+    On the axon remote-TPU tunnel, block_until_ready returns at ENQUEUE
+    time until the process performs its first device->host read; every
+    "latency" measured before that is fiction (a 50-scan full-budget replay
+    "takes" 0.7 ms that really executes in ~4.5 s). One tiny d2h flips the
+    runtime into a synchronous mode whose wall times match real execution
+    (verified against compile+N-runs deltas). Call once before ANY timing.
+    """
+    import numpy as np
+
+    float(np.asarray(jax.jit(lambda: jax.numpy.zeros(()))()))
+
+
 class StepTimer:
     def __init__(self):
         self.ms: List[float] = []

@@ -414,3 +414,99 @@ def test_evaluate_trajectory_2d(tmp_path):
     assert info["yaw_deg"]["rmse"] < 2.0
     out = str(tmp_path / "p.png")
     assert main([e_path, g_path, "--plot", out, "--json"]) == 0
+
+
+def test_camera_info_roundtrip():
+    from gcslam_tpu.frontend import cdr
+
+    msg = cdr.CameraInfo(
+        header=cdr.Header(42.5, "cam_optical"), height=480, width=640,
+        distortion_model="plumb_bob", d=np.array([0.1, -0.05, 0.0, 0.0, 0.01]),
+        k=np.array([381.1, 0, 315.8, 0, 380.8, 238.0, 0, 0, 1.0]),
+        r=np.eye(3).reshape(-1), p=np.zeros(12),
+    )
+    out = cdr.parse_camera_info(cdr.serialize_camera_info(msg))
+    assert out.header.frame_id == "cam_optical"
+    assert (out.height, out.width) == (480, 640)
+    assert out.distortion_model == "plumb_bob"
+    np.testing.assert_allclose(out.d, msg.d)
+    np.testing.assert_allclose(out.k, msg.k)
+
+
+def test_inspect_camera_frames(bag, tmp_path):
+    import shutil
+
+    from tests.test_camera_bag import _add_camera_topics
+    from gcslam_tpu.frontend import cdr
+    from gcslam_tpu.tools.inspect_camera_frames import (
+        inspect_camera_frames, main)
+
+    cam_bag = str(tmp_path / "cam.db3")
+    shutil.copy(bag, cam_bag)
+    _add_camera_topics(cam_bag)
+    # add a CameraInfo topic too
+    import sqlite3
+
+    conn = sqlite3.connect(cam_bag)
+    conn.execute("INSERT INTO topics VALUES (6, '/camera/color/camera_info', "
+                 "'sensor_msgs/msg/CameraInfo', 'cdr', '')")
+    ci = cdr.CameraInfo(
+        header=cdr.Header(100.05, "cam"), height=96, width=128,
+        distortion_model="plumb_bob", d=np.zeros(5),
+        k=np.array([100.0, 0, 64, 0, 100.0, 48, 0, 0, 1]),
+        r=np.eye(3).reshape(-1), p=np.zeros(12))
+    conn.execute("INSERT INTO messages(topic_id, timestamp, data) "
+                 "VALUES (6, ?, ?)", (int(100.05e9), cdr.serialize_camera_info(ci)))
+    conn.commit()
+    conn.close()
+
+    info = inspect_camera_frames(cam_bag)
+    assert "/camera/color/compressed" in info["topics"]
+    intr = info["topics"]["/camera/color/camera_info"]["intrinsics"]
+    assert intr["fx"] == 100.0 and intr["size"] == [128, 96]
+    pr = info["rgb_depth_pairing"]
+    assert pr["depth"] == "/camera/depth/image_raw"
+    assert pr["median_dt_ms"] == pytest.approx(12.0, abs=1.0)
+    assert pr["unpaired_frac"] == 0.0
+    assert main([cam_bag]) == 0  # depth offset 12ms < 20ms window, no warnings
+
+
+def test_diagnose_trajectory_alignment(tmp_path):
+    from gcslam_tpu.outputs.tum import write_tum
+    from gcslam_tpu.tools.diagnose_trajectory_alignment import (
+        diagnose_trajectory_alignment, main)
+
+    t = np.linspace(0, 20, 120)
+    gt = np.zeros((120, 6))
+    gt[:, 0] = np.cos(t * 0.4) * 4
+    gt[:, 1] = np.sin(t * 0.4) * 4
+    gt[:, 2] = 0.1 * np.sin(t)
+    g_path = str(tmp_path / "gt.tum")
+    write_tum(g_path, t, gt)
+
+    # 1. identical trajectories: conventions OK
+    e_path = str(tmp_path / "ok.tum")
+    write_tum(e_path, t, gt + np.random.default_rng(0).normal(0, 0.003, gt.shape))
+    info = diagnose_trajectory_alignment(e_path, g_path)
+    assert info["verdict"] == "CONVENTIONS_OK"
+
+    # 2. swapped X/Y with a sign flip (proper rotation): detect the remap
+    est = gt.copy()
+    est[:, 0], est[:, 1] = gt[:, 1].copy(), -gt[:, 0].copy()
+    e_path = str(tmp_path / "swap.tum")
+    write_tum(e_path, t, est)
+    info = diagnose_trajectory_alignment(e_path, g_path)
+    assert info["verdict"] == "AXIS_REMAP_NEEDED"
+    best = np.asarray(info["best_mappings"][0]["matrix"])
+    # est = [gt_y, -gt_x, gt_z] => the undo map is gt = [-e_y, e_x, e_z]
+    np.testing.assert_array_equal(best, [[0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    assert info["best_mappings"][0]["ate_m"] < 0.01
+
+    # 3. a pure Y sign flip (reflection): handedness bug flagged
+    est = gt.copy()
+    est[:, 1] = -gt[:, 1]
+    e_path = str(tmp_path / "flip.tum")
+    write_tum(e_path, t, est)
+    info = diagnose_trajectory_alignment(e_path, g_path)
+    assert info["verdict"].startswith("HANDEDNESS_FLIP")
+    assert main([e_path, g_path, "--json"]) == 1
