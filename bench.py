@@ -82,6 +82,7 @@ def main() -> None:
         "n_feat": cfg.n_feat, "atlas": f"{cfg.atlas_max_tiles}x{cfg.m_tile}",
         "m_tile_view": cfg.m_tile_view, "voxel_m": cfg.surfel_voxel_size_m,
         "k_sinkhorn": cfg.k_sinkhorn, "imu_len": cfg.max_imu_len,
+        "k_shortlist": cfg.k_shortlist,
     }}
 
     # --- 1. whole-bag replay (ONE dispatch, production batched-replay) ----

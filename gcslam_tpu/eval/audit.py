@@ -5,7 +5,8 @@ which re-runs the invariant pytest against the live run's outputs).
 
 Checks (each -> pass/fail + detail):
   - manifest present, chart GC-RIGHT-01, budgets match compiled constants
-  - trajectory: finite, monotone stamps, no teleports (> 5 m/scan)
+  - trajectory: finite, monotone stamps, no teleports (bound = 8x the p95
+    per-scan step, floored at 0.5 m — data-derived, platform-independent)
   - diagnostics: all tape fields finite; alpha/beta in declared ranges;
     triggers only from the registered taxonomy
   - splat export: finite, PSD covariances, masses >= 0

@@ -314,6 +314,24 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig, sensor_var=
         # coordinates using that same z (returned in MapExtras).
         import dataclasses as _dc
 
+        # Distance shortlist, computed ONCE per hypothesis at the initial
+        # linearization pose and shared by every GN round: the (N, P)
+        # distance tile + wide top-k run once instead of per round, and the
+        # per-round association touches only (N, k_shortlist) candidates.
+        # shortlist_margin_m covers the trust-region pose motion between
+        # rounds (<= n_rounds * 2*sqrt(ot_epsilon_coarse)).
+        if cfg.k_shortlist > 0:
+            R_sl = se3.so3_exp(z_lin_pose[3:6])
+            mpos_w = (
+                mean_positions(mbatch, cfg.eps_lift) @ R_sl.T
+                + z_lin_pose[None, :3]
+            )
+            shortlist = assoc_mod.shortlist_candidates(
+                mpos_w, mbatch.valid, atlas_view, cfg
+            )
+        else:
+            shortlist = None
+
         n_rounds = max(1, cfg.map_icp_iters)
         anneals = jnp.asarray(
             [cfg.map_icp_coarse_factor ** (n_rounds - 1 - it) for it in range(n_rounds)],
@@ -331,7 +349,8 @@ def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig, sensor_var=
                 pose_cauchy_r0_m=cfg.pose_cauchy_r0_m * jnp.sqrt(anneal),
             )
             assoc, assoc_cert = assoc_mod.associate_primitives_ot(
-                mbatch, atlas_view, batch_in.scan_seq, cfg_r, z
+                mbatch, atlas_view, batch_in.scan_seq, cfg_r, z,
+                shortlist=shortlist,
             )
             L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
                 assoc, mbatch, atlas_view, z, cfg_r

@@ -96,6 +96,22 @@ class PipelineConfig:
     # map and kills the novelty signal that drives insertion. Absolute costs
     # keep exp(-d^2/eps) as a ~0.5 m association radius.
     ot_subtract_row_min: bool = False
+    # Distance shortlist: candidates per measurement pre-selected ONCE per
+    # hypothesis by squared distance over the stencil pool; the full vMF
+    # cost + Sinkhorn + top-k_assoc then run on (N, k_shortlist) instead of
+    # (N, P) per GN round. 0 = score the whole pool every round (the
+    # round-2 behavior). This is the TPU analog of the reference's
+    # per-measurement hex-stencil candidate restriction
+    # (primitive_association.py:307-365) — a certified budgeting
+    # approximation (final top-k_assoc is by full cost WITHIN the
+    # shortlist; the direction term can only reorder candidates within an
+    # ot_cost_beta-wide cost band, so k_shortlist >> k_assoc keeps the
+    # selection effectively exact).
+    k_shortlist: int = 32
+    # Extra metric reach (m) added to the stencil cutoff when shortlisting,
+    # covering GN pose motion between the shortlist linearization point and
+    # later rounds (trust-region caps steps at 2*sqrt(ot_epsilon) each).
+    shortlist_margin_m: float = 1.0
 
     # Surfel extraction
     surfel_voxel_size_m: float = 0.1
@@ -163,6 +179,8 @@ class PipelineConfig:
                 raise ValueError(f"PipelineConfig.{name}={v!r} not in {allowed}")
         if self.m_tile_view > self.m_tile:
             raise ValueError("m_tile_view must be <= m_tile")
+        if 0 < self.k_shortlist < self.k_assoc:
+            raise ValueError("k_shortlist must be 0 (off) or >= k_assoc")
 
 
 # Declared ranges for every tunable numeric (name, min, max) — the registry
@@ -192,6 +210,8 @@ PARAM_RANGES = [
     ("ot_tau_a", 0.0, 1e6),
     ("ot_tau_b", 0.0, 1e6),
     ("ot_cost_beta", 0.0, 1e6),
+    ("k_shortlist", 0, 65536),
+    ("shortlist_margin_m", 0.0, 100.0),
     ("surfel_voxel_size_m", 1e-3, 10.0),
     ("surfel_min_points_per_voxel", 1, 1024),
     ("map_evidence_scale", 0.0, 1e3),

@@ -49,6 +49,61 @@ def _log_A_vmf(k: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return jnp.log(4.0 * jnp.pi) + log_sinh - jnp.log(k)
 
 
+def _topk_blocked(x: jnp.ndarray, k: int, block: int = 512):
+    """Exact top-k over the last axis via two-level reduction.
+
+    TPU's generic top_k over a wide axis lowers to an expensive wide sort;
+    splitting into `block`-wide chunks (top-k per chunk, then top-k over the
+    chunk winners) gives identical values. Tie handling matches lax.top_k's
+    lowest-index-wins: chunk winners are ordered (chunk, within-chunk), so
+    the global lowest index wins exact ties."""
+    *lead, P = x.shape
+    if P <= max(2 * block, 2 * k):
+        return jax.lax.top_k(x, k)
+    pad = (-P) % block
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)], constant_values=-jnp.inf)
+    B = (P + pad) // block
+    xb = x.reshape(*lead, B, block)
+    v1, i1 = jax.lax.top_k(xb, min(k, block))  # (..., B, k)
+    base = (jnp.arange(B, dtype=jnp.int32) * block)[:, None]
+    g1 = (i1.astype(jnp.int32) + base).reshape(*lead, -1)  # global indices
+    v2, i2 = jax.lax.top_k(v1.reshape(*lead, -1), k)
+    idx = jnp.take_along_axis(g1, i2, axis=-1)
+    return v2, idx
+
+
+def shortlist_candidates(
+    meas_pos_world: jnp.ndarray,  # (N, 3) measurement means, WORLD frame
+    meas_valid: jnp.ndarray,  # (N,) bool
+    view,  # AtlasView
+    cfg,
+) -> jnp.ndarray:
+    """Distance-only candidate shortlist: (N, k_shortlist) pool rows.
+
+    Computed ONCE per hypothesis (at the map-branch linearization pose) and
+    reused by every GN round — the (N, P) work happens here and only here.
+    Selection is by squared world distance with the stencil-reach cutoff
+    (+ shortlist_margin_m for later GN pose motion); invalid pool rows rank
+    last. Recency/direction terms are intentionally absent: they can only
+    reorder candidates within an O(ot_cost_beta) cost band, which
+    k_shortlist >> k_assoc absorbs (declared shortlist_pruning trigger on
+    the association cert)."""
+    p32 = POINT_DTYPE
+    mp = meas_pos_world.astype(p32)
+    vp = view.positions.astype(p32)
+    d = (
+        jnp.sum(mp * mp, axis=1)[:, None]
+        - 2.0 * mp @ vp.T
+        + jnp.sum(vp * vp, axis=1)[None, :]
+    )  # (N, P)
+    reach = 2.0 * cfg.h_tile * (cfg.r_stencil_xy + 0.5) + cfg.shortlist_margin_m
+    ok = view.valid[None, :] & meas_valid[:, None] & (d < reach * reach)
+    d = jnp.where(ok, d, jnp.inf)
+    _, idx = _topk_blocked(-d, min(cfg.k_shortlist, d.shape[-1]))
+    return idx.astype(jnp.int32)
+
+
 def _sinkhorn_unbalanced(C_mat, a, b, epsilon, tau_a, tau_b, n_iters: int):
     eps = jnp.maximum(epsilon, 1e-12)
     K_mat = jnp.exp(-C_mat / eps)
@@ -73,6 +128,7 @@ def associate_primitives_ot(
     scan_seq: jnp.ndarray,
     cfg,
     z_lin_pose: jnp.ndarray = None,  # (6,) world pose; None if batch is world
+    shortlist: jnp.ndarray = None,  # (N, Ks) pool rows from shortlist_candidates
 ) -> Tuple[AssociationResult, Cert]:
     f = BELIEF_DTYPE
     N = batch.valid.shape[0]
@@ -93,58 +149,91 @@ def associate_primitives_ot(
         meas_pos = meas_pos @ R0.T + z_lin_pose[:3][None, :]
         meas_dir = meas_dir @ R0.T
 
-    # --- full-pool cost tile (f32 for the big part) ----------------------
     p32 = POINT_DTYPE
     mp = meas_pos.astype(p32)
-    vp = view.positions.astype(p32)
-    d_pos = (
-        jnp.sum(mp * mp, axis=1)[:, None]
-        - 2.0 * mp @ vp.T
-        + jnp.sum(vp * vp, axis=1)[None, :]
-    )  # (N, P)
-
     meas_eta = (meas_kap[:, None] * meas_dir).astype(p32)  # (N, 3)
-    view_eta = (view.kappas[:, None] * view.directions).astype(p32)  # (P, 3)
-    # k_m = 0.5 ||eta_i + eta_k||: expand the norm to keep it matmul-shaped.
-    cross = meas_eta @ view_eta.T  # (N, P)
-    km = 0.5 * jnp.sqrt(
-        jnp.maximum(
-            jnp.sum(meas_eta**2, axis=1)[:, None]
-            + jnp.sum(view_eta**2, axis=1)[None, :]
-            + 2.0 * cross,
-            1e-24,
-        )
-    )
-    A_km = _log_A_vmf(km)
-    A_k1 = _log_A_vmf(jnp.maximum(meas_kap.astype(p32), 1e-12))[:, None]
-    A_k2 = _log_A_vmf(jnp.maximum(view.kappas.astype(p32), 1e-12))[None, :]
-    bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
-    d_dir = jnp.maximum(0.0, 1.0 - bc)
-    dir_on = ((meas_kap[:, None] > 0) & (view.kappas[None, :] > 0)).astype(p32)
-    cost_pool = d_pos + cfg.ot_cost_beta * d_dir * dir_on
-
-    # Recency bias + validity mask.
-    dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - view.last_supported).astype(p32)
-    cost_pool = cost_pool + cfg.ot_epsilon * cfg.recency_decay_lambda * dt[None, :]
     # Locality gate: the reference restricts candidates to the hex-stencil
     # tiles around each MEASUREMENT (primitive_association.py:307-365) — that
     # restriction is what gives unmatched measurements zero transported mass
     # (novelty -> insertion). Reproduce it as an absolute distance cutoff at
     # the stencil reach (2 tiles).
     reach_sq = (2.0 * cfg.h_tile * (cfg.r_stencil_xy + 0.5)) ** 2
-    pool_ok = view.valid[None, :] & batch.valid[:, None] & (d_pos < reach_sq)
-    cost_pool = jnp.where(pool_ok, cost_pool, 1e12)
+    dt_pool = jnp.maximum(
+        0, scan_seq.astype(jnp.int32) - view.last_supported
+    ).astype(p32)
+    recency_w = cfg.ot_epsilon * cfg.recency_decay_lambda
 
-    # --- deterministic top-K candidates ------------------------------------
-    neg_top, cand = jax.lax.top_k(-cost_pool, K)  # (N, K)
-    cost = (-neg_top).astype(f)
-    cand = cand.astype(jnp.int32)
+    if shortlist is None:
+        # --- full-pool cost tile (f32 for the big part) -------------------
+        vp = view.positions.astype(p32)
+        d_pos = (
+            jnp.sum(mp * mp, axis=1)[:, None]
+            - 2.0 * mp @ vp.T
+            + jnp.sum(vp * vp, axis=1)[None, :]
+        )  # (N, P)
+        view_eta = (view.kappas[:, None] * view.directions).astype(p32)  # (P, 3)
+        # k_m = 0.5 ||eta_i + eta_k||: expand the norm, keep it matmul-shaped.
+        cross = meas_eta @ view_eta.T  # (N, P)
+        km = 0.5 * jnp.sqrt(
+            jnp.maximum(
+                jnp.sum(meas_eta**2, axis=1)[:, None]
+                + jnp.sum(view_eta**2, axis=1)[None, :]
+                + 2.0 * cross,
+                1e-24,
+            )
+        )
+        A_km = _log_A_vmf(km)
+        A_k1 = _log_A_vmf(jnp.maximum(meas_kap.astype(p32), 1e-12))[:, None]
+        A_k2 = _log_A_vmf(jnp.maximum(view.kappas.astype(p32), 1e-12))[None, :]
+        bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+        d_dir = jnp.maximum(0.0, 1.0 - bc)
+        dir_on = ((meas_kap[:, None] > 0) & (view.kappas[None, :] > 0)).astype(p32)
+        cost_pool = d_pos + cfg.ot_cost_beta * d_dir * dir_on
+        cost_pool = cost_pool + recency_w * dt_pool[None, :]
+        pool_ok = view.valid[None, :] & batch.valid[:, None] & (d_pos < reach_sq)
+        cost_pool = jnp.where(pool_ok, cost_pool, 1e12)
+
+        # --- deterministic top-K candidates --------------------------------
+        neg_top, cand = _topk_blocked(-cost_pool, K)  # (N, K)
+        cost = (-neg_top).astype(f)
+        cand = cand.astype(jnp.int32)
+        cand_valid = jnp.take_along_axis(pool_ok, cand, axis=1)
+    else:
+        # --- shortlisted cost tile (N, Ks): same math, per-row gathers -----
+        sl = shortlist  # (N, Ks) pool rows
+        cpos = view.positions[sl].astype(p32)  # (N, Ks, 3)
+        diff = mp[:, None, :] - cpos
+        d_pos = jnp.sum(diff * diff, axis=-1)  # (N, Ks)
+        ceta = (view.kappas[:, None] * view.directions)[sl].astype(p32)  # (N, Ks, 3)
+        ckap = view.kappas[sl].astype(p32)
+        km = 0.5 * jnp.sqrt(
+            jnp.maximum(
+                jnp.sum(meas_eta**2, axis=1)[:, None]
+                + jnp.sum(ceta**2, axis=-1)
+                + 2.0 * jnp.einsum("ni,nki->nk", meas_eta, ceta),
+                1e-24,
+            )
+        )
+        A_km = _log_A_vmf(km)
+        A_k1 = _log_A_vmf(jnp.maximum(meas_kap.astype(p32), 1e-12))[:, None]
+        A_k2 = _log_A_vmf(jnp.maximum(ckap, 1e-12))
+        bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+        d_dir = jnp.maximum(0.0, 1.0 - bc)
+        dir_on = ((meas_kap[:, None] > 0) & (ckap > 0)).astype(p32)
+        cost_sl = d_pos + cfg.ot_cost_beta * d_dir * dir_on
+        cost_sl = cost_sl + recency_w * dt_pool[sl]
+        sl_ok = view.valid[sl] & batch.valid[:, None] & (d_pos < reach_sq)
+        cost_sl = jnp.where(sl_ok, cost_sl, 1e12)
+
+        neg_top, ci = jax.lax.top_k(-cost_sl, K)  # within the shortlist
+        cost = (-neg_top).astype(f)
+        cand = jnp.take_along_axis(sl, ci, axis=1).astype(jnp.int32)
+        cand_valid = jnp.take_along_axis(sl_ok, ci, axis=1)
 
     # Optional row-min subtraction (reference cost normalization,
     # primitive_association.py:401-404; off by default — see PipelineConfig),
     # re-masking invalid/out-of-reach candidates afterwards so the
     # subtraction can never zero a masked entry.
-    cand_valid = jnp.take_along_axis(pool_ok, cand, axis=1)
     if cfg.ot_subtract_row_min:
         row_min = jnp.min(jnp.where(cand_valid, cost, jnp.inf), axis=1, keepdims=True)
         row_min = jnp.where(jnp.isfinite(row_min), row_min, 0.0)
@@ -174,9 +263,12 @@ def associate_primitives_ot(
         marginal_defect_a=marginal_defect_a,
         ess_ot=ess_ot,
     )
+    triggers = TRIGGERS["sinkhorn_fixed_iter"] | TRIGGERS["sinkhorn_unbalanced_kl_relax"]
+    if shortlist is not None:
+        triggers |= TRIGGERS["shortlist_pruning"]
     cert = make_cert(
         exact=False,
-        triggers=TRIGGERS["sinkhorn_fixed_iter"] | TRIGGERS["sinkhorn_unbalanced_kl_relax"],
+        triggers=triggers,
         ess_total=ess_ot,
         support_frac=jnp.sum(valid_f) / N,
         mass_epsilon_ratio=cfg.eps_mass / (transport_mass + cfg.eps_mass),

@@ -60,6 +60,7 @@ TRIGGER_NAMES = [
     "mass_drop",
     "merge_reduce",
     "NonFiniteEvidence",
+    "shortlist_pruning",
 ]
 TRIGGERS = {name: 1 << i for i, name in enumerate(TRIGGER_NAMES)}
 

@@ -102,3 +102,52 @@ def test_association_is_pose_aware():
     assert L6[5, 5] > 1e3, L6.diagonal()
     # cross-coupling block is populated
     assert np.abs(L6[0:3, 3:6]).max() > 1.0
+
+
+def test_shortlist_matches_full_pool():
+    """Distance-shortlisted association (k_shortlist) must reproduce the
+    full-pool candidates/responsibilities when the shortlist is wide enough:
+    the final top-k_assoc is by the SAME full cost, so any divergence means
+    the pruning dropped a genuine candidate."""
+    T_true = np.array([0.5, -0.3, 0.0, 0.0, 0.0, 0.15])
+    cfg, view, mb, _ = _setup(T_true)
+    z_lin = jnp.asarray(T_true)
+    seq = jnp.zeros((), jnp.int32)
+    full, _ = AS.associate_primitives_ot(mb, view, seq, cfg, z_lin)
+
+    from gcslam_tpu.ops import se3 as _se3
+    R0 = jnp.asarray(se3.so3_exp(z_lin[3:6]))
+    from gcslam_tpu.models.batch import mean_positions
+    mpos_w = mean_positions(mb, cfg.eps_lift) @ R0.T + z_lin[None, :3]
+    sl = AS.shortlist_candidates(mpos_w, mb.valid, view, cfg)
+    assert sl.shape == (mb.valid.shape[0], cfg.k_shortlist)
+    pruned, cert = AS.associate_primitives_ot(mb, view, seq, cfg, z_lin,
+                                              shortlist=sl)
+    # valid rows: identical candidate sets and responsibilities
+    ok = np.asarray(mb.valid)
+    cf = np.sort(np.asarray(full.cand_pool)[ok], axis=1)
+    cp = np.sort(np.asarray(pruned.cand_pool)[ok], axis=1)
+    same = (cf == cp).all(axis=1)
+    assert same.mean() > 0.98, same.mean()  # direction-term band reorders ~0
+    # d_pos rounding differs between the matmul-expanded (full) and direct
+    # squared-difference (shortlist) forms in f32; Sinkhorn amplifies it a
+    # little — tolerance covers rounding only, not candidate changes.
+    np.testing.assert_allclose(
+        np.asarray(pruned.row_masses)[ok][same],
+        np.asarray(full.row_masses)[ok][same], rtol=5e-3, atol=1e-5)
+    # the pruning is certified
+    from gcslam_tpu.ops.certs import TRIGGERS
+    assert int(cert.triggers) & TRIGGERS["shortlist_pruning"]
+
+
+def test_topk_blocked_exact():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (33, 7168)).astype(np.float32))
+    vr, ir = AS._topk_blocked(x, 32)
+    ve, ie = __import__("jax").lax.top_k(x, 32)
+    np.testing.assert_array_equal(np.asarray(vr), np.asarray(ve))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ie))
+    # tie-break parity: constant input -> lowest indices win
+    xc = jnp.zeros((3, 2048))
+    _, it = AS._topk_blocked(xc, 8)
+    np.testing.assert_array_equal(np.asarray(it), np.tile(np.arange(8), (3, 1)))
