@@ -510,3 +510,160 @@ def test_diagnose_trajectory_alignment(tmp_path):
     info = diagnose_trajectory_alignment(e_path, g_path)
     assert info["verdict"].startswith("HANDEDNESS_FLIP")
     assert main([e_path, g_path, "--json"]) == 1
+
+
+def _make_moving_bag(path: str, n: int = 80):
+    """Odometry driving +x while yawing, gyro-z consistent; for the
+    convention/axes validators."""
+    import sqlite3
+
+    from gcslam_tpu.frontend import cdr
+
+    conn = sqlite3.connect(path)
+    conn.executescript(
+        """CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,
+           serialization_format TEXT, offered_qos_profiles TEXT);
+           CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,
+           timestamp INTEGER, data BLOB);"""
+    )
+    conn.execute("INSERT INTO topics VALUES (1,'/odom','nav_msgs/msg/Odometry','cdr','')")
+    conn.execute("INSERT INTO topics VALUES (2,'/imu','sensor_msgs/msg/Imu','cdr','')")
+    wz = 0.3
+    for i in range(n):
+        t = 50.0 + 0.1 * i
+        yaw = wz * (t - 50.0)
+        q = np.array([0, 0, np.sin(yaw / 2), np.cos(yaw / 2)])
+        msg = cdr.Odometry(
+            header=cdr.Header(t, "odom"), child_frame_id="base",
+            position=np.array([0.2 * i, 0.5 * np.sin(0.3 * i), 0.0]), orientation=q,
+            pose_cov=np.eye(6).reshape(-1) * 1e-4, twist_linear=np.array([2.0, 0, 0]),
+            twist_angular=np.array([0, 0, wz]), twist_cov=np.eye(6).reshape(-1) * 1e-4,
+        )
+        conn.execute("INSERT INTO messages(topic_id,timestamp,data) VALUES (1,?,?)",
+                     (int(t * 1e9), cdr.serialize_odometry(msg)))
+    for i in range(n * 5):
+        t = 50.0 + 0.02 * i
+        msg = cdr.Imu(
+            header=cdr.Header(t, "imu"), orientation=np.array([0, 0, 0, 1.0]),
+            angular_velocity=np.array([0, 0, wz]),
+            linear_acceleration=np.array([0, 0, 9.81]),
+        )
+        conn.execute("INSERT INTO messages(topic_id,timestamp,data) VALUES (2,?,?)",
+                     (int(t * 1e9), cdr.serialize_imu(msg)))
+    conn.commit()
+    conn.close()
+
+
+def test_validate_conventions(tmp_path, capsys):
+    from gcslam_tpu.tools.validate_conventions import validate_conventions, main
+
+    path = str(tmp_path / "move.db3")
+    _make_moving_bag(path)
+    rep = validate_conventions(path)
+    assert rep["odom"]["frame_stable"]
+    assert rep["odom"]["quat_norm_max_dev"] < 1e-6
+    assert rep["odom"]["yaw_span_deg"] > 30.0
+    assert rep["imu"]["accel_units_verdict"] == "m/s^2"
+    assert rep["gravity_alignment"]["aligned"]  # identity extrinsic, +z gravity
+    assert rep["gyro_vs_odom_yawrate"]["sign_consistent"]
+    # a yaw-flipping extrinsic must flip the sign correlation
+    rep2 = validate_conventions(path, t_base_imu_rotvec=np.array([np.pi, 0, 0]))
+    assert rep2["gyro_vs_odom_yawrate"]["sign_flipped"]
+    assert not rep2["gravity_alignment"]["aligned"]
+    assert main([path, "--json"]) == 0
+    assert "frame_stable" in capsys.readouterr().out
+
+
+def test_diagnose_trajectory_axes(tmp_path, capsys):
+    from gcslam_tpu.outputs.tum import write_tum
+    from gcslam_tpu.tools.diagnose_trajectory_axes import (
+        diagnose_trajectory_axes, main,
+    )
+
+    path = str(tmp_path / "move.db3")
+    _make_moving_bag(path)
+    t = 50.0 + 0.1 * np.arange(80)
+    poses = np.zeros((80, 6))
+    poses[:, 0] = 0.2 * np.arange(80)
+    poses[:, 1] = 0.5 * np.sin(0.3 * np.arange(80))
+    tum_ok = str(tmp_path / "ok.tum")
+    write_tum(tum_ok, t, poses)
+    rep = diagnose_trajectory_axes(path, tum_ok)
+    assert rep["odom"]["dominant_axis"] == "x"
+    assert rep["odom"]["planar_xy"]
+    assert rep["axis_correlation"]["identity_mapping"]
+    assert rep["verdict"].startswith("OK")
+
+    # motion moved into z in the export: flag the mismatch
+    poses_bad = np.zeros((80, 6))
+    poses_bad[:, 2] = 0.2 * np.arange(80)
+    poses_bad[:, 1] = 0.5 * np.sin(0.3 * np.arange(80))
+    tum_bad = str(tmp_path / "bad.tum")
+    write_tum(tum_bad, t, poses_bad)
+    rep = diagnose_trajectory_axes(path, tum_bad)
+    assert rep["tum"]["dominant_axis"] == "z"
+    assert not rep["axis_correlation"]["identity_mapping"]
+    assert rep["verdict"].startswith("AXIS MISMATCH")
+    assert rep["axis_correlation"]["best_assignment"]["x"] == "z"
+    assert main([path, tum_ok]) == 0
+    assert "verdict" in capsys.readouterr().out
+
+
+def test_trajectory_swaps(tmp_path, capsys):
+    from gcslam_tpu.outputs.tum import write_tum
+    from gcslam_tpu.tools.trajectory_swaps import rank_swaps, main
+
+    rng = np.random.default_rng(1)
+    t = np.arange(60) * 0.1
+    est = np.zeros((60, 6))
+    est[:, 0] = np.cos(0.2 * t) * 3
+    est[:, 1] = np.sin(0.2 * t) * 3
+    est[:, 2] = 0.05 * t
+    est[:, 5] = 0.2 * t
+    e_path = str(tmp_path / "est.tum")
+    write_tum(e_path, t, est)
+
+    # GT in a swapped frame: gt = M_true est with x=+y, y=-x (proper)
+    M = np.array([[0.0, 1, 0], [-1, 0, 0], [0, 0, 1]])
+    gt = est.copy()
+    gt[:, :3] = est[:, :3] @ M.T + rng.normal(0, 0.002, (60, 3))
+    gt[:, 3:6] = est[:, 3:6] @ M.T
+    g_path = str(tmp_path / "gt.tum")
+    write_tum(g_path, t, gt)
+
+    rep = rank_swaps(e_path, g_path)
+    assert not rep["identity_is_best"]
+    # the winning permutation must undo M: best maps gt back onto est
+    assert rep["best"]["ate_trans_rmse_m"] < 0.05
+    assert rep["best"]["perm"] == "x=-y,y=+x,z=+z"
+
+    # identity GT: identity wins
+    g2 = str(tmp_path / "gt2.tum")
+    write_tum(g2, t, est + rng.normal(0, 0.002, est.shape))
+    rep2 = rank_swaps(e_path, g2)
+    assert rep2["identity_is_best"]
+    assert main([e_path, g2, "--top", "3"]) == 0
+    assert "identity_is_best" in capsys.readouterr().out
+
+
+def test_apply_imu_extrinsic(tmp_path, capsys):
+    from gcslam_tpu.tools.dump_raw_imu_odom import dump_raw_imu_odom
+    from gcslam_tpu.tools.apply_imu_extrinsic import apply_imu_extrinsic, main
+
+    path = str(tmp_path / "move.db3")
+    _make_moving_bag(path, n=20)
+    out = dump_raw_imu_odom(path, out_dir=str(tmp_path), max_imu=50, max_odom=10)
+    csv_in = out["imu_csv"]
+    # pi about x: z -> -z for both gyro and accel
+    rep = apply_imu_extrinsic(csv_in, np.array([np.pi, 0, 0]),
+                              str(tmp_path / "imu_base.csv"))
+    assert rep["n_rows"] == 50
+    assert rep["mean_accel_base"][2] < -9.5  # +9.81 z flipped
+    import csv as _csv
+
+    with open(tmp_path / "imu_base.csv") as f:
+        rows = list(_csv.reader(f))
+    wz_col = rows[0].index("wz")
+    assert float(rows[1][wz_col]) < -0.29  # wz=0.3 flipped
+    assert main([csv_in, "--rotvec", "3.14159265,0,0"]) == 0
+    assert "mean_accel_base" in capsys.readouterr().out
