@@ -622,6 +622,8 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     provenance add; the losing slot is invalidated.
     """
     Kp = cfg.k_merge_pairs_tile
+    if Kp <= 0:  # merge disabled — a zero budget must be a no-op, not a crash
+        return atlas, jnp.zeros((), dtype=jnp.int32)
     A = active_slots.shape[0]
     Mfull = atlas.weights.shape[1]
     f64 = BELIEF_DTYPE

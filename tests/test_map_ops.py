@@ -86,3 +86,17 @@ def test_view_of_empty_atlas_is_invalid():
     view = A.extract_view(atlas, slots, jnp.ones(3, dtype=bool), CFG)
     assert not np.any(np.asarray(view.valid))
     assert view.positions.shape == (3 * CFG.m_tile_view, 3)
+
+
+def test_merge_reduce_zero_budget_is_noop():
+    """k_merge_pairs_tile=0 must disable merging without crashing (it used to
+    fail at trace time with a 0-size indexing error)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(PipelineConfig(), k_merge_pairs_tile=0)
+    atlas = A.empty_atlas(cfg)
+    slots = jnp.arange(3, dtype=jnp.int32)
+    atlas2, n_merged = A._merge_reduce(atlas, slots, cfg)
+    assert int(n_merged) == 0
+    for a, b in zip(atlas, atlas2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
