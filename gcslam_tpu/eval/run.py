@@ -46,6 +46,12 @@ def main(argv=None) -> dict:
                    help="chunked streaming: lax.scan windows of W scans with "
                         "loop-closure injection at chunk boundaries (the "
                         "live-operation dispatch mode; combines with --loop)")
+    p.add_argument("--live-view", default=None, metavar="DIR|spawn",
+                   help="live visualization during a streaming run "
+                        "(reference rerun_visualizer.py live mode): with the "
+                        "rerun SDK installed, 'spawn' pops a viewer; "
+                        "otherwise DIR receives a tail-able live.jsonl + "
+                        "point/map snapshots")
     p.add_argument("--map-stream", type=int, default=0, metavar="N",
                    help="export incremental map snapshots every N scans "
                         "(streaming mode; the /gc/map live-view analog)")
@@ -204,16 +210,26 @@ def main(argv=None) -> dict:
         from gcslam_tpu.frontend.loop import LoopDetector
 
         detector = LoopDetector()
+    viewer = None
+    if args.live_view:
+        from gcslam_tpu.outputs.live_view import LiveViewer
+
+        spawn = args.live_view == "spawn"
+        viewer = LiveViewer(
+            os.path.join(out_dir, "live") if spawn else args.live_view,
+            spawn=spawn,
+        )
     if args.chunk > 0:
         state, out = runner.run_chunked(
             batches, cfg, chunk=args.chunk, loop_detector=detector
         )
-    elif args.loop or args.map_stream > 0:
+    elif args.loop or args.map_stream > 0 or viewer is not None:
         state, out = runner.run_stream(
             batches, cfg, loop_detector=detector,
             map_stream_dir=os.path.join(out_dir, "map_stream") if args.map_stream else None,
             map_stream_every=max(args.map_stream, 1),
             status_path=os.path.join(out_dir, "status.jsonl"),
+            live_viewer=viewer,
         )
     else:
         state, out = runner.run_bag(batches, cfg)

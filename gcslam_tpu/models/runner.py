@@ -41,6 +41,7 @@ def run_stream(
     map_stream_every: int = 20,
     status_path: str | None = None,
     status_every: int = 50,
+    live_viewer=None,
 ) -> Tuple[StepState, StepOutput]:
     """Host streaming loop over the jitted step; returns final state and
     stacked outputs (poses/tape gathered on device, one transfer at the end).
@@ -63,7 +64,12 @@ def run_stream(
     every `status_every` scans (50 ~= 5 s at 10 Hz LiDAR) a JSON line with
     scan counters, pose, map size, per-scan trigger counts, and wall rate
     is appended (also the dead-end monitor surface: stalled pose / exploding
-    triggers show up here long before end-of-run artifacts exist)."""
+    triggers show up here long before end-of-run artifacts exist).
+
+    `live_viewer` (outputs.live_view.LiveViewer) enables live visualization —
+    the reference's live Rerun mode (rerun_visualizer.py:34): per-scan pose +
+    periodic points/map logged to a spawned viewer (rerun SDK) or a tail-able
+    file stream."""
     import numpy as np
     import time as _time
 
@@ -110,6 +116,15 @@ def run_stream(
                 i, pose_prev, np.asarray(batch.points), np.asarray(batch.point_weights),
                 pose_cov,
             )
+        if live_viewer is not None:
+            live_viewer.log_scan(
+                i, float(COUNTERS.to_host(out.stamp)), COUNTERS.to_host(out.pose),
+                points=np.asarray(batch.points),
+                weights=np.asarray(batch.point_weights),
+                map_valid_total=float(out.tape.map_valid_total),
+            )
+            if config.with_map:
+                live_viewer.maybe_log_map(i, state.atlas)
         if stream_idx_f is not None and (i % map_stream_every == 0 or i == len(batches) - 1):
             import json
 
@@ -140,6 +155,8 @@ def run_stream(
             status_f.flush()
     if stream_idx_f is not None:
         stream_idx_f.close()
+    if live_viewer is not None:
+        live_viewer.close()
     if status_f is not None:
         status_f.close()
     stacked = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *outs)

@@ -140,3 +140,38 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     s_cont, p_cont = step(states, 2)
     s_res, p_res = step(resumed, 2)
     assert np.array_equal(p_cont, p_res)
+
+
+def test_live_view_file_backend(tmp_path):
+    """LiveViewer without the rerun SDK: tail-able live.jsonl + point/map
+    snapshots through run_stream (reference live-Rerun mode analog)."""
+    import json
+
+    import numpy as np
+
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+    from gcslam_tpu.models import runner
+    from gcslam_tpu.models.config import PipelineConfig
+    from gcslam_tpu.outputs.live_view import LiveViewer
+
+    run = generate(SyntheticConfig(n_scans=7, n_points=256))
+    cfg = PipelineConfig(with_map=True, atlas_max_tiles=8, m_tile=64,
+                         m_tile_view=32, n_surfel=64, surfel_voxel_size_m=0.5)
+    d = str(tmp_path / "live")
+    viewer = LiveViewer(d, points_every=3, map_every=5)
+    assert viewer.backend == "file"  # no rerun SDK in this image
+    runner.run_stream(run.batches, cfg, live_viewer=viewer)
+    lines = [json.loads(l) for l in open(f"{d}/live.jsonl")]
+    scans = [e["scan"] for e in lines if "pose" in e]
+    assert scans == list(range(7))
+    # points every 3rd scan, map every 5th
+    pts = [e for e in lines if "points_file" in e]
+    assert [e["scan"] for e in pts] == [0, 3, 6]
+    arr = np.load(f"{d}/{pts[0]['points_file']}")["points"]
+    assert arr.ndim == 2 and arr.shape[1] == 3
+    maps = [e for e in lines if "map_file" in e]
+    assert [e["scan"] for e in maps] == [0, 5]
+    assert maps[-1]["n_splats"] >= 0
+    for e in lines:
+        if "pose" in e:
+            assert np.all(np.isfinite(e["pose"]))
