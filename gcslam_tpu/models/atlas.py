@@ -608,18 +608,28 @@ def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
 
 
 V_MERGE = 128  # merge-reduce candidate window per tile (fixed budget)
+KC_MERGE = 64  # pair shortlist per tile: nearest-by-mu pairs get the full
+# Bhattacharyya treatment. Exact for every merge-ELIGIBLE pair as long as
+# fewer than KC_MERGE pairs are closer in mu: eligibility requires
+# dist = quad + logt < threshold with logt >= 0 (det(avg Sig) >= sqrt of the
+# det product for PSD), so quad = 0.125 dmu' Sinv dmu < threshold already
+# forces eligible pairs mu-near; the V*V/2 full pairwise tile (16k 3x3
+# inverses per tile per scan) only ever scored pairs the threshold could
+# never accept.
 
 
 def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     """Bhattacharyya merge-reduce, <= k_merge_pairs per active tile.
 
     Fixed-budget redesign of reference primitive_map.py:1501-1900: per tile,
-    only the top V_MERGE-by-weight slots are merge candidates (declared
-    budgeting approximation; the reference caps at tile size 2048 and merges
-    the 4 closest pairs — which essentially always live among high-mass
-    primitives). Greedy disjoint pair selection = k iterations of masked
-    argmin. Merged moments are weight-matched Gaussian moments; vMF lobes and
-    provenance add; the losing slot is invalidated.
+    only the top V_MERGE-by-weight slots are merge candidates, and only the
+    KC_MERGE nearest-by-mu pairs are scored (declared budgeting
+    approximations; the reference caps at tile size 2048 and merges the 4
+    closest pairs — which essentially always live among high-mass, mu-near
+    primitives). Greedy disjoint pair selection = Kp iterations of masked
+    argmin over the pair shortlist. Merged moments are weight-matched
+    Gaussian moments; vMF lobes and provenance add; the losing slot is
+    invalidated.
     """
     Kp = cfg.k_merge_pairs_tile
     if Kp <= 0:  # merge disabled — a zero budget must be a no-op, not a crash
@@ -628,6 +638,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     Mfull = atlas.weights.shape[1]
     f64 = BELIEF_DTYPE
     V = min(V_MERGE, Mfull)
+    KC = min(KC_MERGE, (V * (V - 1)) // 2)
 
     w_all = atlas.weights[active_slots]
     v_all = atlas.valid[active_slots]
@@ -644,34 +655,43 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         mu = jnp.einsum("vij,vj->vi", Sig, th)
         det = linalg.det3x3(Sig)
 
-        S = 0.5 * (Sig[:, None] + Sig[None, :])  # (V, V, 3, 3)
+        # Pair shortlist by mu distance (cheap (V, V) scalar tile), then the
+        # full Bhattacharyya only on the KC shortlisted pairs.
+        d2 = jnp.sum((mu[:, None, :] - mu[None, :, :]) ** 2, axis=-1)
+        pair_ok = v[:, None] & v[None, :]
+        iu = jnp.triu_indices(V, k=1)
+        upper_ok = jnp.zeros((V, V), dtype=bool).at[iu].set(True)
+        d2 = jnp.where(pair_ok & upper_ok, d2, jnp.inf)
+        _, pflat = jax.lax.top_k(-d2.reshape(-1), KC)  # (KC,) flat pair ids
+        pi = (pflat // V).astype(jnp.int32)
+        pj = (pflat % V).astype(jnp.int32)
+
+        S = 0.5 * (Sig[pi] + Sig[pj])  # (KC, 3, 3)
         detS = linalg.det3x3(S)
         Sinv = linalg.inv3x3(S, eps=C.EPS_LIFT)
-        dmu = mu[:, None, :] - mu[None, :, :]
-        quad = 0.125 * jnp.einsum("abi,abij,abj->ab", dmu, Sinv, dmu)
-        logt = 0.5 * jnp.log(detS / jnp.sqrt(det[:, None] * det[None, :] + 1e-24))
+        dmu = mu[pi] - mu[pj]
+        quad = 0.125 * jnp.einsum("ki,kij,kj->k", dmu, Sinv, dmu)
+        logt = 0.5 * jnp.log(detS / jnp.sqrt(det[pi] * det[pj] + 1e-24))
         dist = quad + logt
-        pair_ok = v[:, None] & v[None, :]
-        dist = jnp.where(pair_ok, dist, jnp.inf)
-        dist = dist.at[jnp.tril_indices(V)].set(jnp.inf)
-        return dist, mu, Sig, w, v
+        dist = jnp.where(v[pi] & v[pj] & jnp.isfinite(d2.reshape(-1)[pflat]), dist, jnp.inf)
+        return dist, pi, pj, mu, Sig, w, v
 
-    dists, mus, Sigs, ws, vs = jax.vmap(per_tile)(active_slots, cand)
+    dists, pis, pjs, mus, Sigs, ws, vs = jax.vmap(per_tile)(active_slots, cand)
 
-    # Greedy disjoint selection: Kp iterations of masked argmin per tile.
-    def select(dist):
+    # Greedy disjoint selection: Kp iterations of masked argmin over the
+    # (KC,) pair shortlist per tile (pairs sharing a slot with a selected
+    # pair are knocked out).
+    def select(dist, pi, pj):
         def body(k, carry):
             dist_c, sel_i, sel_j, n_sel = carry
-            flat = jnp.argmin(dist_c)
-            i = (flat // V).astype(jnp.int32)
-            j = (flat % V).astype(jnp.int32)
-            ok = dist_c[i, j] < cfg.merge_threshold
+            p = jnp.argmin(dist_c)
+            i = pi[p]
+            j = pj[p]
+            ok = dist_c[p] < cfg.merge_threshold
             sel_i = sel_i.at[k].set(jnp.where(ok, i, -1))
             sel_j = sel_j.at[k].set(jnp.where(ok, j, -1))
-            # mask used rows/cols
-            big = jnp.inf
-            dist_c = jnp.where(ok, dist_c.at[i, :].set(big).at[:, i].set(big)
-                               .at[j, :].set(big).at[:, j].set(big), dist_c)
+            conflict = (pi == i) | (pi == j) | (pj == i) | (pj == j)
+            dist_c = jnp.where(ok & conflict, jnp.inf, dist_c)
             return dist_c, sel_i, sel_j, n_sel + ok.astype(jnp.int32)
 
         sel_i0 = jnp.full((Kp,), -1, dtype=jnp.int32)
@@ -679,7 +699,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         _, sel_i, sel_j, n_sel = jax.lax.fori_loop(0, Kp, body, (dist, sel_i0, sel_j0, 0))
         return sel_i, sel_j, n_sel
 
-    sel_i, sel_j, n_sel = jax.vmap(select)(dists)  # (A, Kp)
+    sel_i, sel_j, n_sel = jax.vmap(select)(dists, pis, pjs)  # (A, Kp)
 
     # Apply merges: moment-matched Gaussian, summed vMF/provenance.
     # Pairs are greedily DISJOINT within a tile and tiles occupy distinct

@@ -1,0 +1,144 @@
+"""Per-stage cost/latency attribution of the jitted scan step by config
+deltas — the honest-timing complement to tools/profile_step (which profiles
+ONE program): compile the step under a family of config variants that each
+disable or shrink one stage, measure steady-state latency (sync-mode, real
+executions) + XLA cost analysis, and report the deltas against the base.
+
+In the one-program design there are no per-stage timers to read (everything
+is fused into one XLA executable; host-side stage timing would require
+breaking the program apart and paying dispatch per stage) — config-delta
+attribution measures what each stage actually costs IN CONTEXT, including
+whatever fusion XLA does across stage boundaries.
+
+Variants (each independently toggles one knob off the production base):
+  no_map        with_map=False          -> whole map branch + map update
+  gn_1round     map_icp_iters=1         -> per-GN-round association/evidence
+  full_pool     k_shortlist=0           -> shortlist vs full-pool cost tile
+  no_merge      k_merge_pairs_tile=0    -> merge-reduce
+  view_256      m_tile_view=256         -> view-size-proportional work
+  tiles_32      atlas_max_tiles=32      -> atlas-size-proportional work
+
+Usage:
+  python -m gcslam_tpu.tools.attribute_step [--cpu] [--steps 10]
+         [--points 8192] [--variants no_map,gn_1round,...] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+VARIANTS = {
+    "no_map": {"with_map": False},
+    "gn_1round": {"map_icp_iters": 1},
+    "full_pool": {"k_shortlist": 0},
+    "no_merge": {"k_merge_pairs_tile": 0},
+    "view_256": {"m_tile_view": 256},
+    "tiles_32": {"atlas_max_tiles": 32},
+}
+
+
+def measure(cfg, batches, steps: int) -> dict:
+    import jax
+    from gcslam_tpu.models.scan_step import init_state, scan_step
+
+    state = init_state(cfg)
+    fn = jax.jit(lambda s, b: scan_step(s, b, cfg))
+    t0 = time.time()
+    compiled = fn.lower(state, batches[0]).compile()
+    t_compile = time.time() - t0
+
+    rep = {"compile_s": round(t_compile, 1)}
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        rep["gflops"] = round(float(ca.get("flops", 0.0)) / 1e9, 3)
+        rep["gbytes"] = round(
+            float(ca.get("bytes accessed", ca.get("bytes_accessed", 0.0))) / 1e9, 4
+        )
+    except Exception:
+        pass
+
+    # Steady state: warm-up, then `steps` timed executions (state threads
+    # through so the map grows realistically; one block per step = honest
+    # per-dispatch latency in sync mode).
+    state, out = fn(state, batches[0])
+    jax.block_until_ready(out.pose)
+    times = []
+    for i in range(steps):
+        b = batches[1 + (i % (len(batches) - 1))]
+        t0 = time.time()
+        state, out = fn(state, b)
+        jax.block_until_ready(out.pose)
+        times.append(time.time() - t0)
+    times.sort()
+    n = len(times)
+    rep["ms_p50"] = round(times[n // 2] * 1e3, 3)
+    rep["ms_mean"] = round(sum(times) / n * 1e3, 3)
+    return rep
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--points", type=int, default=8192)
+    p.add_argument("--small", action="store_true", help="small map budgets (test mode)")
+    p.add_argument("--variants", default=",".join(VARIANTS),
+                   help="comma list from: " + ",".join(VARIANTS))
+    p.add_argument("--json", default=None, metavar="PATH")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import dataclasses
+    import gcslam_tpu  # noqa: F401
+    from gcslam_tpu.models.config import PipelineConfig
+    from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
+    from gcslam_tpu.utils.profiling import force_sync_timing
+
+    force_sync_timing()
+
+    base_kw = {}
+    if args.small:
+        base_kw = dict(atlas_max_tiles=16, m_tile=256, m_tile_view=128,
+                       n_surfel=256, surfel_voxel_size_m=0.4)
+    cfg0 = PipelineConfig(**base_kw)
+    run = generate(SyntheticConfig(n_scans=max(args.steps + 1, 4),
+                                   n_points=min(args.points, cfg0.n_points_cap)))
+
+    out = {"device": jax.devices()[0].platform,
+           "base_budgets": {"atlas": f"{cfg0.atlas_max_tiles}x{cfg0.m_tile}",
+                            "view": cfg0.m_tile_view, "k_shortlist": cfg0.k_shortlist,
+                            "gn_rounds": cfg0.map_icp_iters}}
+    out["base"] = measure(cfg0, run.batches, args.steps)
+    print("base", json.dumps(out["base"]), flush=True)
+
+    for name in [v for v in args.variants.split(",") if v]:
+        over = VARIANTS[name]
+        if name == "view_256" and cfg0.m_tile_view <= 256:
+            continue  # small mode: variant not meaningful
+        if name == "tiles_32" and cfg0.atlas_max_tiles <= 32:
+            continue
+        cfg = dataclasses.replace(cfg0, **over)
+        try:
+            cfg.validate()
+            out[name] = measure(cfg, run.batches, args.steps)
+            out[name]["delta_ms_p50"] = round(
+                out["base"]["ms_p50"] - out[name]["ms_p50"], 3)
+        except Exception as e:
+            out[name] = {"error": str(e)[:200]}
+        print(name, json.dumps(out[name]), flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main()

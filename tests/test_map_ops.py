@@ -100,3 +100,52 @@ def test_merge_reduce_zero_budget_is_noop():
     assert int(n_merged) == 0
     for a, b in zip(atlas, atlas2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_reduce_merges_near_pair_only():
+    """Two near-duplicate Gaussians in a tile merge (moment-matched, weights
+    add, loser invalidated); a distant one survives untouched."""
+    cfg = CFG
+    atlas = A.empty_atlas(cfg)
+    Lam = np.eye(3) * 100.0  # sigma ~ 0.1 m
+    mus = np.array([
+        [1.0, 0.0, 0.5],      # near pair member 1
+        [1.02, 0.0, 0.5],     # near pair member 2 (2 cm apart)
+        [3.0, 2.0, 0.5],      # far
+    ])
+    T, M = atlas.weights.shape
+    tslot = 2
+    Lams = np.array(atlas.Lambdas)
+    ths = np.array(atlas.thetas)
+    ws = np.array(atlas.weights)
+    vs = np.array(atlas.valid)
+    pids = np.array(atlas.primitive_ids)
+    for k, mu in enumerate(mus):
+        Lams[tslot, k] = Lam
+        ths[tslot, k] = Lam @ mu
+        ws[tslot, k] = 1.0 + 0.1 * k
+        vs[tslot, k] = True
+        pids[tslot, k] = k
+    atlas = atlas._replace(
+        Lambdas=jnp.asarray(Lams), thetas=jnp.asarray(ths),
+        weights=jnp.asarray(ws), valid=jnp.asarray(vs),
+        primitive_ids=jnp.asarray(pids),
+    )
+    slots = jnp.asarray([tslot], dtype=jnp.int32)
+    atlas2, n_merged = A._merge_reduce(atlas, slots, cfg)
+    assert int(n_merged) == 1
+    w2 = np.asarray(atlas2.weights)[tslot]
+    v2 = np.asarray(atlas2.valid)[tslot]
+    # winner carries the pair's summed weight; loser invalidated; far intact
+    merged = np.where(np.isclose(w2, 2.1))[0]
+    assert len(merged) == 1
+    assert v2[2] and np.isclose(w2[2], 1.2)
+    assert int(v2.sum()) == 2  # 3 -> 2 primitives
+    # moment-matched mean lands between the pair
+    k = merged[0]
+    Lam_m = np.asarray(atlas2.Lambdas)[tslot, k]
+    th_m = np.asarray(atlas2.thetas)[tslot, k]
+    mu_m = np.linalg.solve(Lam_m, th_m)
+    w1, w2b = 1.0, 1.1
+    expect = (w1 * mus[0] + w2b * mus[1]) / (w1 + w2b)
+    np.testing.assert_allclose(mu_m, expect, atol=1e-3)
