@@ -667,3 +667,42 @@ def test_apply_imu_extrinsic(tmp_path, capsys):
     assert float(rows[1][wz_col]) < -0.29  # wz=0.3 flipped
     assert main([csv_in, "--rotvec", "3.14159265,0,0"]) == 0
     assert "mean_accel_base" in capsys.readouterr().out
+
+
+def test_replay_map_events(tmp_path, capsys):
+    """The insertion event log replays: integrity checks + timeline +
+    snapshot reconstruction (spec 5.7.7 consumer side)."""
+    import json
+
+    from gcslam_tpu.tools.replay_map_events import replay_map_events, main
+
+    path = str(tmp_path / "map_events.jsonl")
+    with open(path, "w") as f:
+        gid = 0
+        for s in range(4):
+            f.write(json.dumps({"scan": s, "t": 100.0 + 0.1 * s,
+                                "valid_total": 10.0 * (s + 1)}) + "\n")
+            for _ in range(3):
+                f.write(json.dumps({
+                    "scan": s, "event": "insert", "id": gid,
+                    "tile_id": 7 + (gid % 2), "mu_world": [1.0, 2.0, 0.1 * s],
+                    "weight": 0.5, "t": 100.0 + 0.1 * s}) + "\n")
+                gid += 1
+    rep = replay_map_events(path, at_scan=1)
+    assert rep["n_scans"] == 4 and rep["n_inserts"] == 12
+    assert all(rep["integrity"].values())
+    assert rep["snapshot"]["n_primitives"] == 6
+    assert rep["timeline"]["n_tiles_touched"] == 2
+    snap = str(tmp_path / "s.npz")
+    assert main([path, "--at-scan", "2", "--snapshot", snap, "--json"]) == 0
+    assert "ids_strictly_increasing" in capsys.readouterr().out
+    import numpy as np
+
+    assert np.load(snap)["positions"].shape == (9, 3)
+
+    # a corrupted log (duplicate id) fails integrity and exits nonzero
+    with open(path, "a") as f:
+        f.write(json.dumps({"scan": 4, "event": "insert", "id": 0,
+                            "tile_id": 7, "mu_world": [0, 0, 0],
+                            "weight": 1.0, "t": 101.0}) + "\n")
+    assert main([path]) == 1
