@@ -71,6 +71,22 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_int32,
         f32p, f32p, f32p, f32p, f32p, f32p,
     ]
+    try:
+        lib.gcslam_stream_open.restype = ctypes.c_void_p
+        lib.gcslam_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32,
+        ]
+        lib.gcslam_stream_next.restype = ctypes.c_int32
+        lib.gcslam_stream_next.argtypes = [
+            ctypes.c_void_p, f32p, f64p, i32p, i32p, f64p, f64p,
+        ]
+        lib.gcslam_stream_skipped.restype = ctypes.c_int32
+        lib.gcslam_stream_skipped.argtypes = [ctypes.c_void_p]
+        lib.gcslam_stream_close.restype = None
+        lib.gcslam_stream_close.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # older library build; the Python reader covers it
     _lib = lib
     return lib
 
@@ -89,10 +105,10 @@ def parse_pointcloud2(buf: bytes, max_points: int, sentinel: float):
     if lib is None:
         return None
     b = np.frombuffer(buf, dtype=np.uint8)
-    xyz = np.zeros((max_points, 3), np.float32)
-    t = np.zeros(max_points, np.float64)
-    ring = np.zeros(max_points, np.int32)
-    tag = np.zeros(max_points, np.int32)
+    xyz = np.empty((max_points, 3), np.float32)  # first n entries written
+    t = np.empty(max_points, np.float64)
+    ring = np.empty(max_points, np.int32)
+    tag = np.empty(max_points, np.int32)
     stamp = ctypes.c_double(0.0)
     n = lib.gcslam_parse_pointcloud2(
         _ptr(b, ctypes.c_uint8), len(buf), max_points,
@@ -206,3 +222,46 @@ def visual_features(gray_u8, depth_f32, max_feat: int = 512,
         _ptr(normal, ctypes.c_float), _ptr(color, ctypes.c_float),
     )
     return int(n), uv, score, z, zvar, normal, color
+
+
+def stream_available() -> bool:
+    lib = _try_load()
+    return lib is not None and hasattr(lib, "gcslam_stream_open")
+
+
+def stream_pointclouds(db_path: str, topic: str, max_points: int,
+                       sentinel: float, queue_depth: int = 4):
+    """Async PointCloud2 stream over a rosbag2 sqlite container: a native
+    worker thread reads rows + parses CDR while the consumer assembles
+    batches (the reference's async LiDAR worker analog,
+    backend_node.py:1340-1388). Yields (xyz f32 (n,3), t f64 (n,), ring i32,
+    tag i32, stamp, bag_t); generator close() joins the worker."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "gcslam_stream_open"):
+        raise RuntimeError("native streamer unavailable")
+    h = lib.gcslam_stream_open(db_path.encode(), topic.encode(),
+                               max_points, float(sentinel), queue_depth)
+    if not h:
+        raise RuntimeError("native streamer could not open libsqlite3")
+    # one reusable receive buffer: per-scan max_points-sized allocations are
+    # ~28 MB of mmap churn per scan; the yielded arrays are copies of the
+    # filled slice only
+    xyz = np.empty((max_points, 3), np.float32)
+    t = np.empty(max_points, np.float64)
+    ring = np.empty(max_points, np.int32)
+    tag = np.empty(max_points, np.int32)
+    try:
+        while True:
+            stamp = ctypes.c_double(0.0)
+            bag_t = ctypes.c_double(0.0)
+            n = lib.gcslam_stream_next(
+                h, _ptr(xyz, ctypes.c_float), _ptr(t, ctypes.c_double),
+                _ptr(ring, ctypes.c_int32), _ptr(tag, ctypes.c_int32),
+                ctypes.byref(stamp), ctypes.byref(bag_t),
+            )
+            if n < 0:
+                break
+            yield (xyz[:n].copy(), t[:n].copy(), ring[:n].copy(),
+                   tag[:n].copy(), float(stamp.value), float(bag_t.value))
+    finally:
+        lib.gcslam_stream_close(h)

@@ -132,9 +132,14 @@ def _quat_to_rotvec(q: np.ndarray) -> np.ndarray:
     return xyz * (theta / n if n > 1e-12 else 2.0)
 
 
-def read_bag_messages(db_path: str) -> Dict[str, List[Tuple[float, bytes]]]:
+def read_bag_messages(
+    db_path: str, exclude: Tuple[str, ...] = ()
+) -> Dict[str, List[Tuple[float, bytes]]]:
     """topic -> [(bag_time_sec, raw_cdr)] sorted by time. Dispatches on the
-    container: rosbag2 sqlite (.db3) or MCAP (.mcap)."""
+    container: rosbag2 sqlite (.db3) or MCAP (.mcap). Topics in `exclude`
+    keep their (empty) entry and type but their payloads are not loaded —
+    used when the native async streamer reads them out of the container
+    directly."""
     if db_path.endswith(".mcap"):
         from gcslam_tpu.frontend.mcap import read_mcap_messages
 
@@ -143,14 +148,29 @@ def read_bag_messages(db_path: str) -> Dict[str, List[Tuple[float, bytes]]]:
     topics = {tid: (name, typ) for tid, name, typ in conn.execute(
         "SELECT id, name, type FROM topics")}
     out: Dict[str, List[Tuple[float, bytes]]] = {name: [] for name, _ in topics.values()}
+    skip_ids = {tid for tid, (name, _) in topics.items() if name in exclude}
     for tid, ts, data in conn.execute(
         "SELECT topic_id, timestamp, data FROM messages ORDER BY timestamp"
     ):
+        if tid in skip_ids:
+            continue
         name, _ = topics[tid]
         out[name].append((ts * 1e-9, bytes(data)))
     conn.close()
     out["__types__"] = {name: typ for name, typ in topics.values()}  # type: ignore
     return out
+
+
+def bag_topic_summary(db_path: str) -> Dict[str, Tuple[str, int]]:
+    """topic -> (type, message_count) without loading payloads (.db3 only)."""
+    conn = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    topics = {tid: (name, typ) for tid, name, typ in conn.execute(
+        "SELECT id, name, type FROM topics")}
+    counts = dict(conn.execute(
+        "SELECT topic_id, COUNT(*) FROM messages GROUP BY topic_id"))
+    conn.close()
+    return {name: (typ, int(counts.get(tid, 0)))
+            for tid, (name, typ) in topics.items()}
 
 
 def point_budget_resample(
@@ -336,19 +356,39 @@ def load_bag(
 ) -> Tuple[List[ScanBatch], Optional[np.ndarray], Optional[np.ndarray]]:
     """-> (batches, gt_poses=None, gt_times=None). Ground truth comes from a
     separate TUM file in real evaluations (tools/align_ground_truth.py)."""
+    from gcslam_tpu.frontend import native
+
     cfg = config or BagConfig(n_points=n_points)
-    raw = read_bag_messages(db_path)
+
+    # Native async streaming of the LiDAR topic (the bulk of bag bytes):
+    # resolve the topic from the container's directory first, then skip its
+    # payloads in the bulk read — a C++ worker thread reads + parses them
+    # concurrently with batch assembly below.
+    use_stream = db_path.endswith(".db3") and native.stream_available()
+    stream_lidar_topic: Optional[str] = None
+    if use_stream:
+        summary = bag_topic_summary(db_path)
+        stream_lidar_topic = cfg.lidar_topic or next(
+            (n for n, (typ, cnt) in summary.items()
+             if "PointCloud2" in typ and cnt > 0), None)
+    raw = read_bag_messages(
+        db_path, exclude=(stream_lidar_topic,) if stream_lidar_topic else ())
     types: Dict[str, str] = raw.pop("__types__")  # type: ignore
 
     def find_topic(want: Optional[str], type_frag: str) -> Optional[str]:
         if want is not None:
             return want
         for name, typ in types.items():
-            if type_frag in typ and raw.get(name):
+            if type_frag in typ and (raw.get(name) or name == stream_lidar_topic):
                 return name
         return None
 
     lidar_topic = find_topic(cfg.lidar_topic, "PointCloud2")
+    if stream_lidar_topic is not None and lidar_topic != stream_lidar_topic:
+        # discovery disagreed (shouldn't happen); fall back to the bulk read
+        raw = read_bag_messages(db_path)
+        types = raw.pop("__types__")  # type: ignore
+        stream_lidar_topic = None
     imu_topic = find_topic(cfg.imu_topic, "Imu")
     odom_topic = find_topic(cfg.odom_topic, "Odometry")
     if lidar_topic is None:
@@ -419,18 +459,33 @@ def load_bag(
     t_last_scan = None
     prev_odom_idx = None
     f = BELIEF_DTYPE
-    for k, (bag_t, buf) in enumerate(raw[lidar_topic]):
+
+    def lidar_scans():
+        """Yield (xyz f64 (n,3) lidar frame, pt_t, ring, tag, t_scan)."""
+        if stream_lidar_topic is not None:
+            for xyz32, pt_t, ring, tag, stamp, _bag_t in native.stream_pointclouds(
+                db_path, stream_lidar_topic, 1 << 20, C.NONFINITE_SENTINEL
+            ):
+                yield xyz32.astype(np.float64), pt_t, ring, tag, aligned(
+                    lidar_topic, stamp)
+            return
+        for _bag_t, buf in raw[lidar_topic]:
+            nat = native.parse_pointcloud2(buf, 1 << 20, C.NONFINITE_SENTINEL)
+            if nat is not None:
+                xyz32, pt_t, ring, tag, stamp = nat
+                yield xyz32.astype(np.float64), pt_t, ring, tag, aligned(
+                    lidar_topic, stamp)
+            else:
+                msg = cdr.parse_pointcloud2(buf)
+                xyz, pt_t, ring, tag = cdr.pointcloud2_to_arrays(msg)
+                yield xyz, pt_t, ring, tag, aligned(
+                    lidar_topic, msg.header.stamp_sec)
+
+    scan_iter = lidar_scans()
+    for k, (xyz, pt_t, ring, tag, t_scan) in enumerate(scan_iter):
         if cfg.max_scans is not None and k >= cfg.max_scans:
+            scan_iter.close()  # joins the native worker when streaming
             break
-        nat = native.parse_pointcloud2(buf, 1 << 20, C.NONFINITE_SENTINEL)
-        if nat is not None:
-            xyz32, pt_t, ring, tag, stamp = nat
-            xyz = xyz32.astype(np.float64)
-            t_scan = aligned(lidar_topic, stamp)
-        else:
-            msg = cdr.parse_pointcloud2(buf)
-            t_scan = aligned(lidar_topic, msg.header.stamp_sec)
-            xyz, pt_t, ring, tag = cdr.pointcloud2_to_arrays(msg)
         # LiDAR -> base frame
         xyz = xyz @ R_bl.T + t_bl[None, :]
         dist = np.linalg.norm(xyz, axis=1)

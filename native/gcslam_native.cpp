@@ -468,3 +468,205 @@ extern "C" int32_t gcslam_decode_jpeg(const uint8_t* data, int64_t data_len,
     *out_h = (int32_t)H;
     return (int32_t)(row_bytes * H);
 }
+
+// ---------------------------------------------------------------------------
+// Async bag streamer (the data-loader's async half): a worker thread reads
+// the LiDAR topic's rows straight out of the rosbag2 sqlite container and
+// parses each PointCloud2 into fixed-shape buffers while the consumer
+// assembles batches — the offline analog of the reference's async LiDAR
+// worker + bounded queue (backend_node.py:1340-1388). libsqlite3 is loaded
+// via dlopen (the image ships the runtime .so but no dev headers), so the
+// minimal C API is declared here.
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+
+#include <dlfcn.h>
+
+namespace {
+
+typedef struct sqlite3 sqlite3;
+typedef struct sqlite3_stmt sqlite3_stmt;
+constexpr int SQLITE_OK_ = 0, SQLITE_ROW_ = 100, SQLITE_OPEN_READONLY_ = 1;
+
+struct SqliteApi {
+    void* dl = nullptr;
+    int (*open_v2)(const char*, sqlite3**, int, const char*) = nullptr;
+    int (*prepare_v2)(sqlite3*, const char*, int, sqlite3_stmt**, const char**) = nullptr;
+    int (*bind_text)(sqlite3_stmt*, int, const char*, int, void (*)(void*)) = nullptr;
+    int (*step)(sqlite3_stmt*) = nullptr;
+    const void* (*column_blob)(sqlite3_stmt*, int) = nullptr;
+    int (*column_bytes)(sqlite3_stmt*, int) = nullptr;
+    long long (*column_int64)(sqlite3_stmt*, int) = nullptr;
+    int (*finalize)(sqlite3_stmt*) = nullptr;
+    int (*close_db)(sqlite3*) = nullptr;
+
+    bool load() {
+        if (dl) return true;
+        dl = dlopen("libsqlite3.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!dl) dl = dlopen("libsqlite3.so", RTLD_NOW | RTLD_LOCAL);
+        if (!dl) return false;
+        open_v2 = (decltype(open_v2))dlsym(dl, "sqlite3_open_v2");
+        prepare_v2 = (decltype(prepare_v2))dlsym(dl, "sqlite3_prepare_v2");
+        bind_text = (decltype(bind_text))dlsym(dl, "sqlite3_bind_text");
+        step = (decltype(step))dlsym(dl, "sqlite3_step");
+        column_blob = (decltype(column_blob))dlsym(dl, "sqlite3_column_blob");
+        column_bytes = (decltype(column_bytes))dlsym(dl, "sqlite3_column_bytes");
+        column_int64 = (decltype(column_int64))dlsym(dl, "sqlite3_column_int64");
+        finalize = (decltype(finalize))dlsym(dl, "sqlite3_finalize");
+        close_db = (decltype(close_db))dlsym(dl, "sqlite3_close");
+        return open_v2 && prepare_v2 && bind_text && step && column_blob &&
+               column_bytes && column_int64 && finalize && close_db;
+    }
+};
+
+SqliteApi g_sql;
+
+struct ScanSlot {
+    std::vector<float> xyz;
+    std::vector<double> t;
+    std::vector<int32_t> ring, tag;
+    double stamp = 0.0, bag_t = 0.0;
+    int32_t n = 0;
+};
+
+struct StreamHandle {
+    std::thread worker;
+    std::mutex mu;
+    std::condition_variable cv_space, cv_data;
+    std::deque<ScanSlot> q;
+    size_t depth;
+    int64_t max_points;
+    double sentinel;
+    bool done = false, closed = false;
+    int32_t n_skipped = 0;
+    std::string db, topic;
+
+    void run() {
+        sqlite3* conn = nullptr;
+        sqlite3_stmt* st = nullptr;
+        if (!g_sql.load() ||
+            g_sql.open_v2(db.c_str(), &conn, SQLITE_OPEN_READONLY_, nullptr) != SQLITE_OK_) {
+            std::lock_guard<std::mutex> lk(mu);
+            done = true;
+            cv_data.notify_all();
+            return;
+        }
+        const char* sql =
+            "SELECT m.timestamp, m.data FROM messages m "
+            "JOIN topics t ON m.topic_id = t.id WHERE t.name = ?1 "
+            "ORDER BY m.timestamp";
+        // Reused scratch (sized once): per-slot storage holds only the n
+        // points actually parsed — per-scan max_points-sized zero-inits were
+        // 28 MB/scan of pure memset.
+        std::vector<float> sx((size_t)max_points * 3);
+        std::vector<double> stm(max_points);
+        std::vector<int32_t> srg(max_points), stg(max_points);
+        if (g_sql.prepare_v2(conn, sql, -1, &st, nullptr) == SQLITE_OK_) {
+            g_sql.bind_text(st, 1, topic.c_str(), -1, (void (*)(void*))(intptr_t)-1);
+            while (g_sql.step(st) == SQLITE_ROW_) {
+                {
+                    std::unique_lock<std::mutex> lk(mu);
+                    cv_space.wait(lk, [&] { return q.size() < depth || closed; });
+                    if (closed) break;
+                }
+                ScanSlot s;
+                s.bag_t = (double)g_sql.column_int64(st, 0) * 1e-9;
+                const uint8_t* blob = (const uint8_t*)g_sql.column_blob(st, 1);
+                int64_t blen = g_sql.column_bytes(st, 1);
+                s.n = blob ? gcslam_parse_pointcloud2(
+                                 blob, blen, max_points, sx.data(), stm.data(),
+                                 srg.data(), stg.data(), &s.stamp, sentinel)
+                           : -1;
+                if (s.n > 0) {
+                    s.xyz.assign(sx.begin(), sx.begin() + (size_t)s.n * 3);
+                    s.t.assign(stm.begin(), stm.begin() + s.n);
+                    s.ring.assign(srg.begin(), srg.begin() + s.n);
+                    s.tag.assign(stg.begin(), stg.begin() + s.n);
+                }
+                std::unique_lock<std::mutex> lk(mu);
+                if (closed) break;
+                if (s.n < 0) {
+                    ++n_skipped;
+                } else {
+                    q.push_back(std::move(s));
+                    cv_data.notify_one();
+                }
+            }
+            g_sql.finalize(st);
+        }
+        g_sql.close_db(conn);
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
+        cv_data.notify_all();
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Open an async PointCloud2 stream over a rosbag2 sqlite file. Returns an
+// opaque handle, or null when libsqlite3 cannot be loaded.
+void* gcslam_stream_open(const char* db_path, const char* topic,
+                         int64_t max_points, double nonfinite_sentinel,
+                         int32_t queue_depth) {
+    if (!g_sql.load()) return nullptr;
+    auto* h = new StreamHandle();
+    h->db = db_path;
+    h->topic = topic;
+    h->max_points = max_points;
+    h->sentinel = nonfinite_sentinel;
+    h->depth = queue_depth > 0 ? (size_t)queue_depth : 4;
+    h->worker = std::thread([h] { h->run(); });
+    return h;
+}
+
+// Pop the next parsed scan into preallocated outputs (max_points-sized, as
+// in gcslam_parse_pointcloud2). Blocks until data or end-of-topic.
+// Returns n_points, or -1 at end of stream.
+int32_t gcslam_stream_next(void* handle, float* xyz_out, double* t_out,
+                           int32_t* ring_out, int32_t* tag_out,
+                           double* header_stamp_out, double* bag_t_out) {
+    auto* h = (StreamHandle*)handle;
+    ScanSlot s;
+    {
+        std::unique_lock<std::mutex> lk(h->mu);
+        h->cv_data.wait(lk, [&] { return !h->q.empty() || h->done; });
+        if (h->q.empty()) return -1;
+        s = std::move(h->q.front());
+        h->q.pop_front();
+        h->cv_space.notify_one();
+    }
+    std::memcpy(xyz_out, s.xyz.data(), sizeof(float) * 3 * s.n);
+    std::memcpy(t_out, s.t.data(), sizeof(double) * s.n);
+    std::memcpy(ring_out, s.ring.data(), sizeof(int32_t) * s.n);
+    std::memcpy(tag_out, s.tag.data(), sizeof(int32_t) * s.n);
+    *header_stamp_out = s.stamp;
+    *bag_t_out = s.bag_t;
+    return s.n;
+}
+
+// Number of rows skipped because their payload failed to parse.
+int32_t gcslam_stream_skipped(void* handle) {
+    auto* h = (StreamHandle*)handle;
+    std::lock_guard<std::mutex> lk(h->mu);
+    return h->n_skipped;
+}
+
+void gcslam_stream_close(void* handle) {
+    auto* h = (StreamHandle*)handle;
+    {
+        std::lock_guard<std::mutex> lk(h->mu);
+        h->closed = true;
+        h->cv_space.notify_all();
+        h->cv_data.notify_all();
+    }
+    if (h->worker.joinable()) h->worker.join();
+    delete h;
+}
+
+}  // extern "C"

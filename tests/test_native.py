@@ -134,3 +134,78 @@ def test_native_camera_features_pipeline():
     uv = np.asarray(feats.uv)[ok]
     z = np.asarray(feats.depth)[ok]
     assert np.abs(z - (3.0 - 0.004 * uv[:, 0])).max() < 0.05
+
+
+def test_stream_pointclouds_matches_bulk_parse(tmp_path):
+    """The async C++ streamer yields exactly the scans the bulk path parses
+    (same payloads, same order), and load_bag produces identical batches
+    with streaming on and off."""
+    from tests.test_rosbag import _make_bag
+    from gcslam_tpu import constants as C
+    from gcslam_tpu.frontend import cdr, rosbag
+
+    if not native.stream_available():
+        pytest.skip("native streamer unavailable")
+    path = str(tmp_path / "s.db3")
+    _make_bag(path, n_scans=5)
+
+    raw = rosbag.read_bag_messages(path)
+    types = raw.pop("__types__")
+    topic = next(n for n, t in types.items() if "PointCloud2" in t)
+    bulk = []
+    for _, buf in raw[topic]:
+        m = cdr.parse_pointcloud2(buf)
+        xyz, pt, ring, tag = cdr.pointcloud2_to_arrays(m)
+        bulk.append((xyz, m.header.stamp_sec))
+
+    streamed = list(native.stream_pointclouds(
+        path, topic, 1 << 16, C.NONFINITE_SENTINEL))
+    assert len(streamed) == len(bulk) == 5
+    for (xyz_s, _t, _r, _g, stamp, bag_t), (xyz_b, stamp_b) in zip(streamed, bulk):
+        assert abs(stamp - stamp_b) < 1e-6
+        assert bag_t > 0
+        np.testing.assert_allclose(xyz_s, xyz_b.astype(np.float32), atol=1e-5)
+
+    # end-to-end loader equivalence (stream on by default for .db3)
+    batches, _, _ = rosbag.load_bag(path, n_points=256)
+    import gcslam_tpu.frontend.native as nat
+
+    orig = nat.stream_available
+    nat.stream_available = lambda: False
+    try:
+        batches_off, _, _ = rosbag.load_bag(path, n_points=256)
+    finally:
+        nat.stream_available = orig
+    assert len(batches) == len(batches_off)
+    import jax
+
+    for a, b in zip(batches, batches_off):
+        for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_stream_early_close_joins_worker(tmp_path):
+    """Closing the generator mid-stream must join the worker cleanly (the
+    max_scans early-exit path)."""
+    from tests.test_rosbag import _make_bag
+    from gcslam_tpu import constants as C
+
+    if not native.stream_available():
+        pytest.skip("native streamer unavailable")
+    path = str(tmp_path / "s.db3")
+    _make_bag(path, n_scans=6)
+    from gcslam_tpu.frontend import rosbag
+
+    raw = rosbag.read_bag_messages(path)
+    types = raw.pop("__types__")
+    topic = next(n for n, t in types.items() if "PointCloud2" in t)
+    gen = native.stream_pointclouds(path, topic, 1 << 16, C.NONFINITE_SENTINEL)
+    first = next(gen)
+    assert first[0].shape[1] == 3
+    gen.close()  # must not hang or crash
+
+    # load_bag with max_scans < bag length exercises the same path
+    from gcslam_tpu.frontend.rosbag import BagConfig
+
+    batches, _, _ = rosbag.load_bag(path, config=BagConfig(n_points=256, max_scans=2))
+    assert len(batches) == 2
