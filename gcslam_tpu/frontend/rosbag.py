@@ -401,8 +401,6 @@ def load_bag(
         return float(a.apply(np.asarray(t))) if a else t
 
     # Decode IMU/odom streams — native batch decoder when built, else Python.
-    from gcslam_tpu.frontend import native
-
     imu_bufs = [b for _, b in raw.get(imu_topic, [])] if imu_topic else []
     odom_bufs = [b for _, b in raw.get(odom_topic, [])] if odom_topic else []
     nat_imu = native.parse_imu_batch(imu_bufs)
