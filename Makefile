@@ -2,8 +2,13 @@
 
 .PHONY: test eval bench native clean
 
+# PALLAS_AXON_POOL_IPS is cleared so the axon sitecustomize does not dial
+# the remote-TPU relay: tests run on the virtual CPU mesh (tests/conftest.py)
+# and the relay register() call deadlocks on a futex whenever another
+# process (bench, profiler) holds the chip — tests must not serialize
+# behind TPU work.
 test:
-	python -m pytest tests/ -x -q
+	env PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
 
 # the single test path (reference: make eval -> run_and_evaluate_gc.sh)
 eval:

@@ -36,7 +36,32 @@ VARIANTS = {
     "no_merge": {"k_merge_pairs_tile": 0},
     "view_256": {"m_tile_view": 256},
     "tiles_32": {"atlas_max_tiles": 32},
+    "sinkhorn_10": {"k_sinkhorn": 10},
+    "hyp_1": {"k_hyp": 1, "hyp_diversify": False},
 }
+
+
+def measure_replay(cfg, stacked, n_scans: int) -> dict:
+    """Variant latency on the REPLAY program (lax.scan over the bag, donated
+    carry) — the same program bench.py's headline measures. Per-step sync
+    attribution (measure) includes per-dispatch RPC + missing carry aliasing;
+    the replay deltas are the ones that move the headline number."""
+    import jax
+    from gcslam_tpu.models.scan_step import init_state
+    from gcslam_tpu.models import runner
+
+    state0 = init_state(cfg)
+    fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg))
+    rep = {}
+    t0 = time.time()
+    state, out = fn(state0, stacked)
+    jax.block_until_ready(out.pose)
+    rep["compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    state, out = fn(state0, stacked)
+    jax.block_until_ready(out.pose)
+    rep["ms_per_scan"] = round((time.time() - t0) / n_scans * 1000.0, 3)
+    return rep
 
 
 def measure(cfg, batches, steps: int) -> dict:
@@ -85,6 +110,9 @@ def main(argv=None) -> dict:
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--points", type=int, default=8192)
     p.add_argument("--small", action="store_true", help="small map budgets (test mode)")
+    p.add_argument("--replay", type=int, default=0, metavar="N",
+                   help="measure the N-scan replay program (run_scan) per "
+                        "variant instead of per-step sync dispatch")
     p.add_argument("--variants", default=",".join(VARIANTS),
                    help="comma list from: " + ",".join(VARIANTS))
     p.add_argument("--json", default=None, metavar="PATH")
@@ -108,14 +136,25 @@ def main(argv=None) -> dict:
         base_kw = dict(atlas_max_tiles=16, m_tile=256, m_tile_view=128,
                        n_surfel=256, surfel_voxel_size_m=0.4)
     cfg0 = PipelineConfig(**base_kw)
-    run = generate(SyntheticConfig(n_scans=max(args.steps + 1, 4),
+    n_scans = args.replay if args.replay else max(args.steps + 1, 4)
+    run = generate(SyntheticConfig(n_scans=n_scans,
                                    n_points=min(args.points, cfg0.n_points_cap)))
+    if args.replay:
+        from gcslam_tpu.models.scan_io import stack_scan_batches
 
-    out = {"device": jax.devices()[0].platform,
+        stacked = stack_scan_batches(run.batches)
+
+        def measure_fn(cfg):
+            return measure_replay(cfg, stacked, n_scans)
+    else:
+        def measure_fn(cfg):
+            return measure(cfg, run.batches, args.steps)
+
+    out = {"device": jax.devices()[0].platform, "replay": args.replay,
            "base_budgets": {"atlas": f"{cfg0.atlas_max_tiles}x{cfg0.m_tile}",
                             "view": cfg0.m_tile_view, "k_shortlist": cfg0.k_shortlist,
                             "gn_rounds": cfg0.map_icp_iters}}
-    out["base"] = measure(cfg0, run.batches, args.steps)
+    out["base"] = measure_fn(cfg0)
     print("base", json.dumps(out["base"]), flush=True)
 
     for name in [v for v in args.variants.split(",") if v]:
@@ -127,9 +166,9 @@ def main(argv=None) -> dict:
         cfg = dataclasses.replace(cfg0, **over)
         try:
             cfg.validate()
-            out[name] = measure(cfg, run.batches, args.steps)
-            out[name]["delta_ms_p50"] = round(
-                out["base"]["ms_p50"] - out[name]["ms_p50"], 3)
+            out[name] = measure_fn(cfg)
+            key = "ms_per_scan" if args.replay else "ms_p50"
+            out[name]["delta_ms"] = round(out["base"][key] - out[name][key], 3)
         except Exception as e:
             out[name] = {"error": str(e)[:200]}
         print(name, json.dumps(out[name]), flush=True)
