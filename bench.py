@@ -85,17 +85,25 @@ def main() -> None:
         "k_shortlist": cfg.k_shortlist,
     }}
 
+    # HONEST-TIMING rule 2: every timed region below ENDS with a real
+    # device->host read (not just block_until_ready) — the force_sync_timing
+    # side effect was observed to lapse after many compilations in one
+    # process, silently reverting to enqueue-time fiction. A host read
+    # cannot complete before the computation does.
+    def _read(x):
+        return float(np.asarray(x).ravel()[0])
+
     # --- 1. whole-bag replay (ONE dispatch, production batched-replay) ----
     batches = stack_scan_batches(run.batches)
     state0 = init_state(cfg)
     scan_fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg))
     t0 = time.time()
     state, out = scan_fn(state0, batches)
-    jax.block_until_ready(out.pose)
+    _read(out.pose)
     report["compile_replay_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     state, out = scan_fn(state0, batches)
-    jax.block_until_ready(out.pose)
+    _read(out.pose)
     replay_ms = (time.time() - t0) / N_SCANS * 1000.0
     report["replay_ms"] = round(replay_ms, 4)
 
@@ -114,15 +122,15 @@ def main() -> None:
     # below as chunk_stage_ms (host stack of one bag / N_SCANS).
     t0 = time.time()
     state_c, out_c = runner.run_chunked(batches, cfg, chunk=CHUNK)
-    jax.block_until_ready(out_c.pose)
+    _read(out_c.pose)
     report["compile_chunked_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     state_c, out_c = runner.run_chunked(batches, cfg, chunk=CHUNK)
-    jax.block_until_ready(out_c.pose)
+    _read(out_c.pose)
     chunk_ms = (time.time() - t0) / N_SCANS * 1000.0
     report["chunked_ms"] = round(chunk_ms, 4)
     t0 = time.time()
-    jax.block_until_ready(stack_scan_batches(run.batches).points)
+    _read(stack_scan_batches(run.batches).points)
     report["chunk_stage_ms"] = round((time.time() - t0) / N_SCANS * 1000.0, 4)
     ate_c = ate_rpe.compute_ate(np.asarray(out_c.pose), run.gt_poses, align="initial")
     report["chunked_ate_trans_rmse_m"] = round(ate_c["translation"]["rmse"], 4)
@@ -131,11 +139,11 @@ def main() -> None:
     state_s = init_state(cfg)
     for b in run.batches[:3]:
         state_s, out_s = runner._step_jit(state_s, b, cfg)
-    jax.block_until_ready(out_s.pose)
+    _read(out_s.pose)
     t0 = time.time()
     for b in run.batches[3:23]:
         state_s, out_s = runner._step_jit(state_s, b, cfg)
-    jax.block_until_ready(out_s.pose)
+    _read(out_s.pose)
     report["stream_ms"] = round((time.time() - t0) / 20 * 1000.0, 3)
 
     # --- 4. camera-path variant (with_camera=True, TPU-compiled) ----------
@@ -148,11 +156,11 @@ def main() -> None:
         cam_fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg_cam))
         t0 = time.time()
         _, out_cam = cam_fn(init_state(cfg_cam), batches_cam)
-        jax.block_until_ready(out_cam.pose)
+        _read(out_cam.pose)
         report["compile_camera_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         _, out_cam = cam_fn(init_state(cfg_cam), batches_cam)
-        jax.block_until_ready(out_cam.pose)
+        _read(out_cam.pose)
         report["camera_replay_ms"] = round((time.time() - t0) / N_SCANS_CAM * 1000.0, 4)
         report["camera_finite"] = bool(np.all(np.isfinite(np.asarray(out_cam.pose))))
     except Exception as e:  # camera variant must not mask the headline

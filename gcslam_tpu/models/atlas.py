@@ -271,153 +271,200 @@ class MapExtras(NamedTuple):
     lidar_resid_w: jnp.ndarray  # (N, K) responsibility weights (surfel rows)
 
 
-def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig, sensor_var=None):
+def build_measurement_inputs(
+    deskewed_points, point_stamps, deskewed_weights, batch_in,
+    atlas_view: AtlasView, z_center, cfg: PipelineConfig, sensor_var=None,
+):
+    """Surfel extraction + unified measurement batch + distance shortlist.
+
+    Factored out of the map-evidence closure so scan_step can run it ONCE per
+    scan and share the result across the vmapped hypotheses
+    (cfg.map_share_extraction): extraction and the (N, P) shortlist selection
+    are the map branch's dominant cost and depend on the hypothesis only
+    through sub-voxel deskew differences; `z_center` is the pose the
+    world-frame shortlist is taken at (per-hypothesis z_lin in the unshared
+    path, hypothesis 0's predicted pose in the shared path —
+    shortlist_margin_m covers the difference).
+
+    Camera rows are dropped AT COMPILE TIME when cfg.with_camera is False:
+    the batch then has n_surfel rows instead of n_feat + n_surfel, removing a
+    dead third of every (N, ...)-shaped association/fuse tensor. (The
+    reference always carries both slices, measurement_batch.py:69-157; with
+    identical validity masking the zero-row batch is numerically identical.)
+    """
+    from gcslam_tpu.ops import association as assoc_mod
+
+    surfels, surf_cert = extract_surfels(
+        deskewed_points, point_stamps, deskewed_weights,
+        cfg.n_surfel, cfg.surfel_voxel_size_m, cfg.surfel_min_points_per_voxel,
+        sensor_var=sensor_var,
+    )
+    if cfg.with_camera:
+        cam = (batch_in.cam_Lambdas, batch_in.cam_thetas, batch_in.cam_etas,
+               batch_in.cam_weights, batch_in.cam_colors, batch_in.cam_valid)
+    else:
+        cam = (batch_in.cam_Lambdas[:0], batch_in.cam_thetas[:0],
+               batch_in.cam_etas[:0], batch_in.cam_weights[:0],
+               batch_in.cam_colors[:0], batch_in.cam_valid[:0])
+    mbatch = from_camera_and_surfels(
+        *cam, batch_in.t_scan,
+        surfels.positions, surfels.Lambdas, surfels.normals, surfels.kappas,
+        surfels.weights, surfels.timestamps, surfels.valid,
+    )
+    if cfg.k_shortlist > 0:
+        R_sl = se3.so3_exp(z_center[3:6])
+        mpos_w = mean_positions(mbatch, cfg.eps_lift) @ R_sl.T + z_center[None, :3]
+        shortlist = assoc_mod.shortlist_candidates(mpos_w, mbatch.valid, atlas_view, cfg)
+    else:
+        shortlist = None
+    return mbatch, shortlist, surf_cert
+
+
+def make_map_evidence_fn(atlas_view: AtlasView, cfg: PipelineConfig, sensor_var=None,
+                         shared=None):
     """Returns the map-branch closure used inside the vmapped hypothesis step.
     The view is shared (extracted once per scan); per-hypothesis deskewed
-    points produce per-hypothesis surfels/associations.
+    points produce per-hypothesis surfels/associations, unless `shared`
+    carries a precomputed (mbatch, shortlist, surf_cert) from
+    build_measurement_inputs (cfg.map_share_extraction) — then the closure
+    ignores the per-hypothesis points and only the GN rounds stay
+    per-hypothesis.
 
     `sensor_var` is the adapted LiDAR sensor noise variance (tr(Sigma_l)/3
     from the measurement-noise IW block, reference pipeline.py:550-566) fed
     into the surfel covariance floor; None keeps the datasheet constant."""
+
+    def map_evidence(deskewed_points, deskewed_weights, batch_in, z_lin_pose, belief_pred):
+        if shared is not None:
+            mbatch, shortlist, surf_cert = shared
+            surf_cert = surf_cert._replace(
+                triggers=surf_cert.triggers
+                | jnp.uint64(TRIGGERS["hyp_shared_extraction"])
+            )
+        else:
+            mbatch, shortlist, surf_cert = build_measurement_inputs(
+                deskewed_points, batch_in.point_stamps, deskewed_weights,
+                batch_in, atlas_view, z_lin_pose, cfg, sensor_var,
+            )
+        return map_gn_evidence(
+            mbatch, shortlist, surf_cert, atlas_view,
+            batch_in.scan_seq, z_lin_pose, cfg,
+        )
+
+    return map_evidence
+
+
+def map_gn_evidence(mbatch, shortlist, surf_cert, atlas_view: AtlasView,
+                    scan_seq, z_start, cfg: PipelineConfig):
+    """Gauss-Newton rounds with COARSE-TO-FINE annealing: early rounds use
+    a widened association kernel + robust scale (big capture basin —
+    also what re-anchors revisits after drift), the FINAL round uses the
+    configured tight values so the returned factor carries no
+    soft-matching shrinkage bias. Iterating at a single tight scale is
+    unstable (the re-association confirms the previous round's biased
+    step with full authority), and a single wide round is biased — the
+    anneal is what makes the iteration both wide-basin and unbiased.
+    Rolled as ONE lax.scan over a static anneal schedule: every round
+    has identical structure (association + evidence + trust-region
+    step, the step zeroed on the final round), so XLA compiles the
+    round body ONCE instead of n_rounds statically-unrolled copies —
+    the unrolled second round alone cost ~266 s of TPU compile
+    (VERDICT r1 weak #2). The RETURNED factor is the final round's,
+    linearized at the final z; scan_step shifts it into chart
+    coordinates using that same z (returned in MapExtras).
+
+    Callable per hypothesis (z_start = that hypothesis' z_lin) or ONCE per
+    scan from the predicted pose (cfg.map_gn_shared) — the anneal's capture
+    basin is what makes the predicted-pose start equivalent."""
+    import dataclasses as _dc
+
     from gcslam_tpu.ops import association as assoc_mod
     from gcslam_tpu.ops import evidence_pose
 
-    def map_evidence(deskewed_points, deskewed_weights, batch_in, z_lin_pose, belief_pred):
-        surfels, surf_cert = extract_surfels(
-            deskewed_points, batch_in.point_stamps, deskewed_weights,
-            cfg.n_surfel, cfg.surfel_voxel_size_m, cfg.surfel_min_points_per_voxel,
-            sensor_var=sensor_var,
-        )
-        mbatch = from_camera_and_surfels(
-            batch_in.cam_Lambdas, batch_in.cam_thetas, batch_in.cam_etas,
-            batch_in.cam_weights, batch_in.cam_colors,
-            batch_in.cam_valid if cfg.with_camera else jnp.zeros_like(batch_in.cam_valid),
-            batch_in.t_scan,
-            surfels.positions, surfels.Lambdas, surfels.normals, surfels.kappas,
-            surfels.weights, surfels.timestamps, surfels.valid,
-        )
-        # Gauss-Newton rounds with COARSE-TO-FINE annealing: early rounds use
-        # a widened association kernel + robust scale (big capture basin —
-        # also what re-anchors revisits after drift), the FINAL round uses the
-        # configured tight values so the returned factor carries no
-        # soft-matching shrinkage bias. Iterating at a single tight scale is
-        # unstable (the re-association confirms the previous round's biased
-        # step with full authority), and a single wide round is biased — the
-        # anneal is what makes the iteration both wide-basin and unbiased.
-        # Rolled as ONE lax.scan over a static anneal schedule: every round
-        # has identical structure (association + evidence + trust-region
-        # step, the step zeroed on the final round), so XLA compiles the
-        # round body ONCE instead of n_rounds statically-unrolled copies —
-        # the unrolled second round alone cost ~266 s of TPU compile
-        # (VERDICT r1 weak #2). The RETURNED factor is the final round's,
-        # linearized at the final z; scan_step shifts it into chart
-        # coordinates using that same z (returned in MapExtras).
-        import dataclasses as _dc
+    n_rounds = max(1, cfg.map_icp_iters)
+    anneals = jnp.asarray(
+        [cfg.map_icp_coarse_factor ** (n_rounds - 1 - it) for it in range(n_rounds)],
+        dtype=BELIEF_DTYPE,
+    )
+    do_step = jnp.asarray(
+        [1.0 if it + 1 < n_rounds else 0.0 for it in range(n_rounds)],
+        dtype=BELIEF_DTYPE,
+    )
 
-        # Distance shortlist, computed ONCE per hypothesis at the initial
-        # linearization pose and shared by every GN round: the (N, P)
-        # distance tile + wide top-k run once instead of per round, and the
-        # per-round association touches only (N, k_shortlist) candidates.
-        # shortlist_margin_m covers the trust-region pose motion between
-        # rounds (<= n_rounds * 2*sqrt(ot_epsilon_coarse)).
-        if cfg.k_shortlist > 0:
-            R_sl = se3.so3_exp(z_lin_pose[3:6])
-            mpos_w = (
-                mean_positions(mbatch, cfg.eps_lift) @ R_sl.T
-                + z_lin_pose[None, :3]
-            )
-            shortlist = assoc_mod.shortlist_candidates(
-                mpos_w, mbatch.valid, atlas_view, cfg
-            )
-        else:
-            shortlist = None
-
-        n_rounds = max(1, cfg.map_icp_iters)
-        anneals = jnp.asarray(
-            [cfg.map_icp_coarse_factor ** (n_rounds - 1 - it) for it in range(n_rounds)],
-            dtype=BELIEF_DTYPE,
+    def _round_outputs(z, anneal):
+        cfg_r = _dc.replace(
+            cfg,
+            ot_epsilon=cfg.ot_epsilon * anneal,
+            pose_cauchy_r0_m=cfg.pose_cauchy_r0_m * jnp.sqrt(anneal),
         )
-        do_step = jnp.asarray(
-            [1.0 if it + 1 < n_rounds else 0.0 for it in range(n_rounds)],
-            dtype=BELIEF_DTYPE,
+        assoc, assoc_cert = assoc_mod.associate_primitives_ot(
+            mbatch, atlas_view, scan_seq, cfg_r, z,
+            shortlist=shortlist,
         )
-
-        def _round_outputs(z, anneal):
-            cfg_r = _dc.replace(
-                cfg,
-                ot_epsilon=cfg.ot_epsilon * anneal,
-                pose_cauchy_r0_m=cfg.pose_cauchy_r0_m * jnp.sqrt(anneal),
-            )
-            assoc, assoc_cert = assoc_mod.associate_primitives_ot(
-                mbatch, atlas_view, batch_in.scan_seq, cfg_r, z,
-                shortlist=shortlist,
-            )
-            L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
-                assoc, mbatch, atlas_view, z, cfg_r
-            )
-            return (z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert), cfg_r
-
-        def gn_round(carry, xs):
-            z, _prev = carry
-            anneal, step_on = xs
-            outs, cfg_r = _round_outputs(z, anneal)
-            _, L_lidar, h_lidar, _, _, _ = outs
-            L6 = L_lidar[0:6, 0:6] + cfg.eps_lift * jnp.eye(6, dtype=L_lidar.dtype)
-            delta, _ = linalg.spd_solve_lifted(L6, h_lidar[0:6], cfg.eps_lift)
-            # Trust region: the quadratic model is only valid inside this
-            # round's association kernel. The final round takes no step
-            # (step_on=0) — its factor is returned at its own linearization.
-            step_cap = 2.0 * jnp.sqrt(cfg_r.ot_epsilon)
-            nrm = jnp.linalg.norm(delta)
-            delta = delta * (step_on * jnp.minimum(1.0, step_cap / (nrm + 1e-12)))
-            z_next = se3.se3_compose(z, se3.se3_exp(delta))
-            # last round's outputs ride the CARRY (only ys would force XLA to
-            # stack n_rounds copies of the association tensors in HBM)
-            return (z_next, outs), None
-
-        out_shapes = jax.eval_shape(lambda z: _round_outputs(z, anneals[0])[0],
-                                    z_lin_pose)
-        outs0 = jax.tree_util.tree_map(
-            lambda sh: jnp.zeros(sh.shape, sh.dtype), out_shapes
+        L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
+            assoc, mbatch, atlas_view, z, cfg_r
         )
-        (_, last), _ = jax.lax.scan(
-            gn_round, (z_lin_pose, outs0), (anneals, do_step)
-        )
-        z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert = last
+        return (z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert), cfg_r
 
-        # LiDAR translation residual suffstats at the FINAL linearization:
-        # r_ik = map_k - (R z) p_i - t z over surfel rows, weighted by the
-        # (validity-masked) responsibilities. These feed the third
-        # measurement-noise IW block (scan_step step 14).
-        R_z = se3.so3_exp(z[3:6])
-        meas_w = mean_positions(mbatch, cfg.eps_lift) @ R_z.T + z[None, :3]
-        map_pos = atlas_view.positions[assoc.cand_pool]  # (N, K, 3)
-        pair_ok = (
-            mbatch.valid[:, None]
-            & atlas_view.valid[assoc.cand_pool]
-            & (mbatch.sources == 1)[:, None]
-        )
-        # NaN-safe: invalid atlas rows / an empty-view GN pose carry NaN
-        # positions, and 0-weight x NaN = NaN would poison the IW einsum
-        # downstream (measurement_iw_apply) even though the pair is masked.
-        resid = jnp.where(pair_ok[:, :, None], map_pos - meas_w[:, None, :], 0.0)
-        resid = jnp.where(jnp.isfinite(resid), resid, 0.0)
-        resid_w = assoc.responsibilities * pair_ok.astype(resid.dtype)
+    def gn_round(carry, xs):
+        z, _prev = carry
+        anneal, step_on = xs
+        outs, cfg_r = _round_outputs(z, anneal)
+        _, L_lidar, h_lidar, _, _, _ = outs
+        L6 = L_lidar[0:6, 0:6] + cfg.eps_lift * jnp.eye(6, dtype=L_lidar.dtype)
+        delta, _ = linalg.spd_solve_lifted(L6, h_lidar[0:6], cfg.eps_lift)
+        # Trust region: the quadratic model is only valid inside this
+        # round's association kernel. The final round takes no step
+        # (step_on=0) — its factor is returned at its own linearization.
+        step_cap = 2.0 * jnp.sqrt(cfg_r.ot_epsilon)
+        nrm = jnp.linalg.norm(delta)
+        delta = delta * (step_on * jnp.minimum(1.0, step_cap / (nrm + 1e-12)))
+        z_next = se3.se3_compose(z, se3.se3_exp(delta))
+        # last round's outputs ride the CARRY (only ys would force XLA to
+        # stack n_rounds copies of the association tensors in HBM)
+        return (z_next, outs), None
 
-        extras = MapExtras(
-            batch=mbatch,
-            responsibilities=assoc.responsibilities,
-            cand_pool=assoc.cand_pool,
-            row_masses=assoc.row_masses,
-            ot_transport_mass=assoc.transport_mass,
-            ot_marginal_defect_a=assoc.marginal_defect_a,
-            z_map_pose=z,
-            lidar_residuals=resid,
-            lidar_resid_w=resid_w,
-        )
-        return L_lidar, h_lidar, [surf_cert, assoc_cert, vis_cert], extras
+    out_shapes = jax.eval_shape(lambda z: _round_outputs(z, anneals[0])[0],
+                                z_start)
+    outs0 = jax.tree_util.tree_map(
+        lambda sh: jnp.zeros(sh.shape, sh.dtype), out_shapes
+    )
+    (_, last), _ = jax.lax.scan(
+        gn_round, (z_start, outs0), (anneals, do_step)
+    )
+    z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert = last
 
-    return map_evidence
+    # LiDAR translation residual suffstats at the FINAL linearization:
+    # r_ik = map_k - (R z) p_i - t z over surfel rows, weighted by the
+    # (validity-masked) responsibilities. These feed the third
+    # measurement-noise IW block (scan_step step 14).
+    R_z = se3.so3_exp(z[3:6])
+    meas_w = mean_positions(mbatch, cfg.eps_lift) @ R_z.T + z[None, :3]
+    map_pos = atlas_view.positions[assoc.cand_pool]  # (N, K, 3)
+    pair_ok = (
+        mbatch.valid[:, None]
+        & atlas_view.valid[assoc.cand_pool]
+        & (mbatch.sources == 1)[:, None]
+    )
+    # NaN-safe: invalid atlas rows / an empty-view GN pose carry NaN
+    # positions, and 0-weight x NaN = NaN would poison the IW einsum
+    # downstream (measurement_iw_apply) even though the pair is masked.
+    resid = jnp.where(pair_ok[:, :, None], map_pos - meas_w[:, None, :], 0.0)
+    resid = jnp.where(jnp.isfinite(resid), resid, 0.0)
+    resid_w = assoc.responsibilities * pair_ok.astype(resid.dtype)
+
+    extras = MapExtras(
+        batch=mbatch,
+        responsibilities=assoc.responsibilities,
+        cand_pool=assoc.cand_pool,
+        row_masses=assoc.row_masses,
+        ot_transport_mass=assoc.transport_mass,
+        ot_marginal_defect_a=assoc.marginal_defect_a,
+        z_map_pose=z,
+        lidar_residuals=resid,
+        lidar_resid_w=resid_w,
+    )
+    return L_lidar, h_lidar, [surf_cert, assoc_cert, vis_cert], extras
 
 
 # ---------------------------------------------------------------------------
@@ -696,7 +743,9 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
 
         sel_i0 = jnp.full((Kp,), -1, dtype=jnp.int32)
         sel_j0 = jnp.full((Kp,), -1, dtype=jnp.int32)
-        _, sel_i, sel_j, n_sel = jax.lax.fori_loop(0, Kp, body, (dist, sel_i0, sel_j0, 0))
+        _, sel_i, sel_j, n_sel = jax.lax.fori_loop(
+            0, Kp, body, (dist, sel_i0, sel_j0, 0), unroll=4
+        )
         return sel_i, sel_j, n_sel
 
     sel_i, sel_j, n_sel = jax.vmap(select)(dists, pis, pjs)  # (A, Kp)

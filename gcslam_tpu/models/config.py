@@ -112,6 +112,32 @@ class PipelineConfig:
     # covering GN pose motion between the shortlist linearization point and
     # later rounds (trust-region caps steps at 2*sqrt(ot_epsilon) each).
     shortlist_margin_m: float = 1.0
+    # Shortlist selection backend: recall target in (0, 1) uses the
+    # TPU-native approximate top-k (jax.lax.approx_max_k / PartialReduce —
+    # avoids lowering the (N, P) selection to a wide-axis sort); 1.0 = exact
+    # blocked top-k. The shortlist carries the shortlist_pruning certificate
+    # trigger either way, and the final k_assoc downselect is exact.
+    shortlist_recall: float = 0.95
+    # Share surfel extraction + the distance shortlist across the K_HYP
+    # vmapped hypotheses (computed once from hypothesis 0's deskew at its
+    # predicted pose). The hypotheses differ only through bias/pose estimates
+    # whose effect on the constant-twist deskew is sub-voxel, while
+    # extraction + the (N, P) shortlist selection dominate the map branch's
+    # cost x4. Per-hypothesis GN rounds / association / pose evidence remain
+    # independent. Declared approximation (hyp_shared_extraction trigger).
+    # The reference extracts per hypothesis inside its sequential loop
+    # (backend/pipeline.py:789 called from backend_node.py:2036).
+    map_share_extraction: bool = True
+    # Run the map-branch GN rounds ONCE per scan from hypothesis 0's
+    # PREDICTED pose and give every hypothesis the same alignment factor
+    # (linearized at the GN-refined pose; the per-hypothesis chart shift and
+    # the diversified map_scale/beta trust profiles still differentiate what
+    # each hypothesis DOES with it). The hypotheses' linearization points
+    # differ by millimetres — well inside the coarse round's capture basin —
+    # while the GN rounds (association + Sinkhorn + pose Laplace x rounds)
+    # are the map branch's largest per-hypothesis cost. Requires
+    # map_share_extraction. Declared approximation (hyp_shared_extraction).
+    map_gn_shared: bool = True
 
     # Surfel extraction
     surfel_voxel_size_m: float = 0.1
@@ -181,6 +207,8 @@ class PipelineConfig:
             raise ValueError("m_tile_view must be <= m_tile")
         if 0 < self.k_shortlist < self.k_assoc:
             raise ValueError("k_shortlist must be 0 (off) or >= k_assoc")
+        if self.map_gn_shared and not self.map_share_extraction:
+            raise ValueError("map_gn_shared requires map_share_extraction")
 
 
 # Declared ranges for every tunable numeric (name, min, max) — the registry
@@ -212,6 +240,7 @@ PARAM_RANGES = [
     ("ot_cost_beta", 0.0, 1e6),
     ("k_shortlist", 0, 65536),
     ("shortlist_margin_m", 0.0, 100.0),
+    ("shortlist_recall", 0.0, 1.0),
     ("surfel_voxel_size_m", 1e-3, 10.0),
     ("surfel_min_points_per_voxel", 1, 1024),
     ("map_evidence_scale", 0.0, 1e3),

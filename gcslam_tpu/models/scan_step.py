@@ -210,14 +210,19 @@ def _hypothesis_step(
     target_int = jnp.minimum(
         jnp.maximum(batch.t_scan - batch.t_last_scan, 0.0), dt_int + dt_imu
     )
-    pre_scan = preintegrate(
-        batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_scan,
-        rotvec0, gyro_bias, accel_bias, gravity_W, target_scan,
+    # Both windows (scan-coverage and scan-to-scan) share every input except
+    # the membership weights / target time — one vmapped associative scan
+    # computes them together (halves the log-depth chain count; same math).
+    pre2 = jax.vmap(
+        preintegrate, in_axes=(None, None, None, 0, None, None, None, None, 0)
+    )(
+        batch.imu_stamps, batch.imu_gyro, batch.imu_accel,
+        jnp.stack([w_imu_scan, w_imu_int]),
+        rotvec0, gyro_bias, accel_bias, gravity_W,
+        jnp.stack([target_scan, target_int]),
     )
-    pre_int = preintegrate(
-        batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_imu_int,
-        rotvec0, gyro_bias, accel_bias, gravity_W, target_int,
-    )
+    pre_scan = jax.tree_util.tree_map(lambda x: x[0], pre2)
+    pre_int = jax.tree_util.tree_map(lambda x: x[1], pre2)
     xi_body = se3.se3_log(pre_scan.delta_pose)
     trans_scale = 0.0 if cfg.deskew_rotation_only else 1.0
     xi_body = xi_body.at[:3].multiply(trans_scale)
@@ -625,6 +630,66 @@ def _hypothesis_step(
     )
 
 
+def _shared_extraction_inputs(b0: Belief, batch: ScanBatch, view, cfg, sensor_var):
+    """Hypothesis-0 deskew pre-pass feeding the SHARED surfel extraction +
+    shortlist (cfg.map_share_extraction): soft scan window -> preintegrated
+    constant twist -> deskew, mirroring steps 3-5 of _hypothesis_step for
+    hypothesis 0 only. The shortlist is taken at hypothesis 0's predicted
+    world pose (mean-preserving under diffusion; IMU-increment under
+    imu_predict) — per-hypothesis z_lin differs from it by at most the
+    odom/evidence correction, absorbed by cfg.shortlist_margin_m."""
+    from gcslam_tpu.models import atlas as atlas_mod
+    from gcslam_tpu.ops.deskew import deskew_constant_twist
+
+    _, Sigma0, _ = to_moments(b0, cfg.eps_lift)
+    dt_std = jnp.sqrt(jnp.abs(Sigma0[C.IDX_DT, C.IDX_DT]))
+    warp_cap = jnp.maximum(0.25 * batch.dt_sec, 0.01)
+    sigma_warp = jnp.clip(dt_std, 0.01, warp_cap)
+    w_scan = smooth_window_weights(
+        batch.imu_stamps, batch.scan_start_time, batch.scan_end_time, sigma_warp
+    )
+    mu0 = mean_increment(b0, cfg.eps_lift)
+    pose0 = world_pose(b0, cfg.eps_lift)
+    gravity_W = jnp.asarray(C.GRAVITY_W, dtype=BELIEF_DTYPE) * cfg.imu_gravity_scale
+    dt_imu = imu_mean_sample_period(batch.imu_stamps)
+    dt_cov = imu_integration_time(
+        batch.imu_stamps, batch.scan_start_time, batch.scan_end_time
+    )
+    target_scan = jnp.minimum(
+        jnp.maximum(batch.scan_end_time - batch.scan_start_time, 0.0), dt_cov + dt_imu
+    )
+    pre_scan = preintegrate(
+        batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_scan,
+        pose0[3:6], mu0[C.IDX_BG], mu0[C.IDX_BA], gravity_W, target_scan,
+    )
+    xi_body = se3.se3_log(pre_scan.delta_pose)
+    if cfg.deskew_rotation_only:
+        xi_body = xi_body.at[:3].set(0.0)
+    dsk_pts, dsk_w, _dsk_cert = deskew_constant_twist(
+        batch.points, batch.point_stamps, batch.point_weights,
+        batch.scan_start_time, batch.scan_end_time, xi_body, pre_scan.ess,
+    )
+    if cfg.imu_mode == "predict":
+        w_int = smooth_window_weights(
+            batch.imu_stamps, batch.t_last_scan, batch.t_scan, sigma_warp
+        )
+        dt_int = imu_integration_time(batch.imu_stamps, batch.t_last_scan, batch.t_scan)
+        target_int = jnp.minimum(
+            jnp.maximum(batch.t_scan - batch.t_last_scan, 0.0), dt_int + dt_imu
+        )
+        pre_int = preintegrate(
+            batch.imu_stamps, batch.imu_gyro, batch.imu_accel, w_int,
+            pose0[3:6], mu0[C.IDX_BG], mu0[C.IDX_BA], gravity_W, target_int,
+        )
+        z_center = se3.se3_compose(pose0, pre_int.delta_pose)
+    else:
+        z_center = pose0
+    inputs = atlas_mod.build_measurement_inputs(
+        dsk_pts, batch.point_stamps, dsk_w, batch, view, z_center, cfg, sensor_var
+    )
+    return inputs, z_center
+
+
 def _zero_map_evidence(deskewed_points, deskewed_weights, batch, z_lin_pose, belief_pred):
     """No-map config: zero LiDAR evidence (eps-regularized like the
     reference's empty path, pipeline.py:1013-1015)."""
@@ -678,9 +743,29 @@ def scan_step(
         view = atlas_mod.extract_view(
             atlas, active_slots, jnp.ones_like(active_slots, dtype=bool), cfg
         )
-        map_fn = atlas_mod.make_map_evidence_fn(
-            view, cfg, sensor_var=jnp.trace(Sigma_l) / 3.0
-        )
+        sensor_var = jnp.trace(Sigma_l) / 3.0
+        if cfg.map_share_extraction:
+            shared, z_center = _shared_extraction_inputs(b0, batch, view, cfg, sensor_var)
+        else:
+            shared, z_center = None, None
+        if cfg.map_gn_shared:
+            # One GN chain per SCAN from hypothesis 0's predicted pose
+            # (config.map_gn_shared): every hypothesis receives the same
+            # alignment factor; the per-hypothesis chart shift and the
+            # diversified map_scale/beta still differentiate its application.
+            mb_s, sl_s, sc_s = shared
+            sc_s = sc_s._replace(
+                triggers=sc_s.triggers
+                | jnp.uint64(CT.TRIGGERS["hyp_shared_extraction"])
+            )
+            gn_out = atlas_mod.map_gn_evidence(
+                mb_s, sl_s, sc_s, view, batch.scan_seq, z_center, cfg
+            )
+            map_fn = lambda *args: gn_out
+        else:
+            map_fn = atlas_mod.make_map_evidence_fn(
+                view, cfg, sensor_var=sensor_var, shared=shared
+            )
     else:
         map_fn = _zero_map_evidence
 

@@ -100,7 +100,18 @@ def shortlist_candidates(
     reach = 2.0 * cfg.h_tile * (cfg.r_stencil_xy + 0.5) + cfg.shortlist_margin_m
     ok = view.valid[None, :] & meas_valid[:, None] & (d < reach * reach)
     d = jnp.where(ok, d, jnp.inf)
-    _, idx = _topk_blocked(-d, min(cfg.k_shortlist, d.shape[-1]))
+    k = min(cfg.k_shortlist, d.shape[-1])
+    recall = getattr(cfg, "shortlist_recall", 1.0)
+    if 0.0 < recall < 1.0:
+        # TPU-native approximate selection (PartialReduce) instead of the
+        # wide-axis sort: the shortlist is ALREADY a declared budgeting
+        # approximation (shortlist_pruning cert trigger) with a distance
+        # margin, so a >=recall fraction of the true nearest candidates is
+        # within its contract; the final k_assoc downselect inside the GN
+        # rounds stays exact. Falls back to exact top_k on CPU.
+        _, idx = jax.lax.approx_max_k(-d, k, recall_target=float(recall))
+    else:
+        _, idx = _topk_blocked(-d, k)
     return idx.astype(jnp.int32)
 
 
@@ -118,7 +129,10 @@ def _sinkhorn_unbalanced(C_mat, a, b, epsilon, tau_a, tau_b, n_iters: int):
 
     u0 = jnp.ones_like(a)
     v0 = jnp.ones_like(b)
-    u, v = jax.lax.fori_loop(0, n_iters, it, (u0, v0))
+    # unroll: the body is a pair of tiny (N,K) matvec updates — while-loop
+    # boundary overhead dominates the math on TPU, so run several exact
+    # iterations per loop trip (same fixed K total, contract unchanged).
+    u, v = jax.lax.fori_loop(0, n_iters, it, (u0, v0), unroll=10)
     return u[:, None] * K_mat * v[None, :]
 
 

@@ -61,6 +61,7 @@ TRIGGER_NAMES = [
     "merge_reduce",
     "NonFiniteEvidence",
     "shortlist_pruning",
+    "hyp_shared_extraction",
 ]
 TRIGGERS = {name: 1 << i for i, name in enumerate(TRIGGER_NAMES)}
 

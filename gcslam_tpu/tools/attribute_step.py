@@ -38,6 +38,13 @@ VARIANTS = {
     "tiles_32": {"atlas_max_tiles": 32},
     "sinkhorn_10": {"k_sinkhorn": 10},
     "hyp_1": {"k_hyp": 1, "hyp_diversify": False},
+    "surfel_512": {"n_surfel": 512},
+    "m_tile_1024": {"m_tile": 1024},
+    "shortlist_16": {"k_shortlist": 16},
+    "exact_shortlist": {"shortlist_recall": 1.0},
+    "no_share": {"map_share_extraction": False, "map_gn_shared": False},
+    "per_hyp_gn": {"map_gn_shared": False},
+    "camera_on": {"with_camera": True},
 }
 
 
@@ -52,14 +59,26 @@ def measure_replay(cfg, stacked, n_scans: int) -> dict:
 
     state0 = init_state(cfg)
     fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg))
+
+    def _read(x):
+        # HONEST-TIMING: end every timed region with a real device->host
+        # read. block_until_ready alone can return at enqueue time on the
+        # remote-TPU runtime (the force_sync_timing side effect does not
+        # reliably persist across many compilations in one process — observed
+        # as a 22 ms/scan pipeline "measuring" 0.015 ms late in a variant
+        # sweep). A host read cannot complete before the computation does.
+        import numpy as _np
+
+        return float(_np.asarray(x)[-1, 0])
+
     rep = {}
     t0 = time.time()
     state, out = fn(state0, stacked)
-    jax.block_until_ready(out.pose)
+    _read(out.pose)
     rep["compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     state, out = fn(state0, stacked)
-    jax.block_until_ready(out.pose)
+    _read(out.pose)
     rep["ms_per_scan"] = round((time.time() - t0) / n_scans * 1000.0, 3)
     return rep
 
@@ -86,16 +105,26 @@ def measure(cfg, batches, steps: int) -> dict:
         pass
 
     # Steady state: warm-up, then `steps` timed executions (state threads
-    # through so the map grows realistically; one block per step = honest
-    # per-dispatch latency in sync mode).
+    # through so the map grows realistically). Each step ends with a real
+    # device->host scalar read: block_until_ready alone can return at
+    # enqueue time on the remote-TPU runtime (see measure_replay), so the
+    # read is what anchors the timestamp to actual completion. The read
+    # itself costs one small RPC, reported separately as ms_read.
+    import numpy as _np
+
     state, out = fn(state, batches[0])
-    jax.block_until_ready(out.pose)
+    float(_np.asarray(out.pose)[0])
+    t0 = time.time()
+    for _ in range(5):
+        float(_np.asarray(out.pose)[0])
+    ms_read = (time.time() - t0) / 5 * 1e3
+    rep["ms_read"] = round(ms_read, 3)
     times = []
     for i in range(steps):
         b = batches[1 + (i % (len(batches) - 1))]
         t0 = time.time()
         state, out = fn(state, b)
-        jax.block_until_ready(out.pose)
+        float(_np.asarray(out.pose)[0])
         times.append(time.time() - t0)
     times.sort()
     n = len(times)

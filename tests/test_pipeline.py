@@ -347,3 +347,39 @@ def test_integrated_odom_is_dead_reckoned():
                             [0.0, 0.0, p[5] + rels[k][5]]])
         np.testing.assert_allclose(p[:3], odom[k, :3], atol=1e-9)
         np.testing.assert_allclose(p[5], odom[k, 5], atol=1e-9)
+
+
+def test_hypothesis_sharing_modes_track(small_run):
+    """The per-hypothesis map branch (reference semantics: extraction +
+    GN per hypothesis, backend/pipeline.py:789) and the two TPU sharing
+    levels (map_share_extraction: shared surfels/shortlist;
+    map_gn_shared: one GN chain from the predicted pose) must all track the
+    trajectory — the sharing is a declared approximation over sub-voxel
+    deskew differences, not a behavior change. The default is fully shared."""
+    results = {}
+    for name, kw in {
+        "per_hyp": dict(map_share_extraction=False, map_gn_shared=False),
+        "shared_extraction": dict(map_share_extraction=True, map_gn_shared=False),
+        "shared_gn": dict(map_share_extraction=True, map_gn_shared=True),
+    }.items():
+        cfg = PipelineConfig(**SMALL, **kw)
+        _, out = runner.run_bag(small_run.batches, cfg)
+        poses = np.asarray(out.pose)
+        assert np.all(np.isfinite(poses)), name
+        err = np.linalg.norm(poses[:, :2] - small_run.gt_poses[:, :2], axis=1)
+        results[name] = float(np.sqrt((err**2).mean()))
+        assert results[name] < 0.5, (name, results[name])
+    # sharing must not change the answer materially on a nominal run
+    assert abs(results["shared_gn"] - results["per_hyp"]) < 0.05, results
+    # the shared modes carry the declared approximation trigger
+    from gcslam_tpu.ops.certs import TRIGGERS
+
+    cfg = PipelineConfig(**SMALL)
+    _, out = runner.run_bag(small_run.batches, cfg)
+    masks = np.asarray(out.tape.cert_triggers).astype(np.uint64)
+    assert (masks & np.uint64(TRIGGERS["hyp_shared_extraction"])).any()
+
+
+def test_map_gn_shared_requires_share_extraction():
+    with pytest.raises(ValueError):
+        PipelineConfig(map_share_extraction=False, map_gn_shared=True).validate()
