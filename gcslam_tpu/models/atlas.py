@@ -496,7 +496,11 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
 
     tile_slot = view.tile_slot[pool]  # (N*K,)
     slot = view.slot[pool]
-    flat = jnp.where(pair_valid, tile_slot * M + slot, -1)  # drop invalid
+    # invalid pairs target T*M: a POSITIVE out-of-bounds row, which
+    # mode="drop" really drops. (A -1 sentinel WRAPS to the last atlas slot
+    # under JAX scatter semantics even with mode="drop" — the zero payload
+    # kept it harmless here, but the sentinel must still be OOB-positive.)
+    flat = jnp.where(pair_valid, tile_slot * M + slot, T * M)
 
     rep = lambda x: jnp.repeat(x, K, axis=0)
     Lam_m = rep(Lam_w).astype(MAPF)
@@ -507,23 +511,46 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
     is_cam = rep((extras.batch.sources == 0)).astype(MAPF)
     is_lid = rep((extras.batch.sources == 1)).astype(MAPF)
 
-    r = resp[:, None, None]
-    rv = resp[:, None]
+    # ONE packed scatter-add for every fused channel. XLA TPU serializes
+    # duplicate-index scatters over UPDATE ROWS, so nine narrow scatters
+    # sharing this index set cost ~9x one wide scatter of the concatenated
+    # payload (channel widths: Lambda 9, theta 3, eta B*3, w 1, cam 1,
+    # lidar 1, rgb_accum 3, [rgb_denom == cam], resp 1).
+    NB = C.VMF_N_LOBES * 3
+    rw = resp * w_m
+    rwc = rw * is_cam
+    payload = jnp.concatenate(
+        [
+            resp[:, None] * Lam_m.reshape(-1, 9),
+            resp[:, None] * th_m,
+            resp[:, None] * eta_m.reshape(-1, NB),
+            rw[:, None],
+            rwc[:, None],
+            (rw * is_lid)[:, None],
+            col_m * rwc[:, None],
+            resp[:, None],
+        ],
+        axis=1,
+    )  # (N*K, 17 + NB)
+    acc = (
+        jnp.zeros((T * M, payload.shape[1]), dtype=MAPF)
+        .at[flat].add(payload, mode="drop")
+    )
 
-    def sadd(arr, val):
-        shp = arr.shape
-        return arr.reshape((T * M,) + shp[2:]).at[flat].add(val, mode="drop").reshape(shp)
+    def seg(o, w, shape):
+        a = acc[:, o] if w == 1 else acc[:, o:o + w]
+        return a.reshape(shape)
 
-    Lambdas = sadd(atlas.Lambdas, r * Lam_m)
-    thetas = sadd(atlas.thetas, rv * th_m)
-    etas = sadd(atlas.etas, resp[:, None, None] * eta_m)
-    weights = sadd(atlas.weights, resp * w_m)
-    cam_mass = sadd(atlas.cam_mass, resp * w_m * is_cam)
-    lidar_mass = sadd(atlas.lidar_mass, resp * w_m * is_lid)
-    rgb_accum = sadd(atlas.rgb_accum, col_m * (resp * w_m * is_cam)[:, None])
-    rgb_denom = sadd(atlas.rgb_denom, resp * w_m * is_cam)
-
-    resp_sum = jnp.zeros((T * M,), dtype=MAPF).at[flat].add(resp, mode="drop").reshape(T, M)
+    Lambdas = atlas.Lambdas + seg(0, 9, (T, M, 3, 3))
+    thetas = atlas.thetas + seg(9, 3, (T, M, 3))
+    etas = atlas.etas + seg(12, NB, (T, M, C.VMF_N_LOBES, 3))
+    weights = atlas.weights + seg(12 + NB, 1, (T, M))
+    cam_inc = seg(13 + NB, 1, (T, M))
+    cam_mass = atlas.cam_mass + cam_inc
+    lidar_mass = atlas.lidar_mass + seg(14 + NB, 1, (T, M))
+    rgb_accum = atlas.rgb_accum + seg(15 + NB, 3, (T, M, 3))
+    rgb_denom = atlas.rgb_denom + cam_inc  # rgb_denom increment == cam-mass increment
+    resp_sum = seg(18 + NB, 1, (T, M))
     updated = resp_sum > 0.0
     last_supported = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_supported)
     last_update = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_update)
@@ -604,28 +631,73 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     ).reshape(-1)
     evicted_mass = jnp.sum(ret_gather * ins_valid.astype(MAPF))
 
-    def sset(arr, val):
-        shp = arr.shape
-        return arr.reshape((T * M,) + shp[2:]).at[flat].set(val, mode="drop").reshape(shp)
-
     has_cam = cam_i * (w_i > 0)
     rgb_new = jnp.where((has_cam > 0)[:, None], jnp.clip(col_i, 0.0, 1.0), 0.5)
+
+    # THREE packed scatters (f32 payload / f64 payload / written-mask) replace
+    # 15 narrow scatter-sets sharing this index set — XLA TPU serializes
+    # scatters over update rows, so cost scales with scatter COUNT x rows.
+    # Valid `flat` targets are unique (per-tile evict slots are distinct,
+    # tiles disjoint); invalid rows are -1 -> dropped. int32 channels ride
+    # the f64 payload (exact for |v| < 2^53); the mask selects written rows.
+    NB = C.VMF_N_LOBES * 3
+    pay32 = jnp.concatenate(
+        [
+            Lam_i.reshape(-1, 9),
+            th_i,
+            eta_i.reshape(-1, NB),
+            w_i[:, None],
+            (w_i * cam_i)[:, None],
+            (w_i * (1.0 - cam_i))[:, None],
+            col_i * (w_i * cam_i)[:, None],
+            rgb_new,
+        ],
+        axis=1,
+    )  # (A*Kin, 18 + NB)
+    pay64 = jnp.stack(
+        [
+            jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE),
+            jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE),
+            jnp.full(w_i.shape, scan_seq, dtype=TIME_DTYPE),
+            new_ids.astype(TIME_DTYPE),
+        ],
+        axis=1,
+    )  # (A*Kin, 4): timestamp, created, scan_seq (last_supported==last_update), id
+    acc32 = (
+        jnp.zeros((T * M, pay32.shape[1]), dtype=MAPF).at[flat].set(pay32, mode="drop")
+    )
+    acc64 = (
+        jnp.zeros((T * M, 4), dtype=TIME_DTYPE).at[flat].set(pay64, mode="drop")
+    )
+    written = (
+        jnp.zeros((T * M,), dtype=bool).at[flat].set(True, mode="drop").reshape(T, M)
+    )
+
+    def pick(old, o, w):
+        flat_old = old.reshape((T * M,) + old.shape[2:])
+        new = (acc32[:, o] if w == 1 else acc32[:, o:o + w]).reshape(flat_old.shape)
+        m = written.reshape((T * M,) + (1,) * (old.ndim - 2))
+        return jnp.where(m, new, flat_old).reshape(old.shape)
+
+    seq32 = acc64[:, 2].astype(jnp.int32).reshape(T, M)
     atlas = atlas._replace(
-        Lambdas=sset(atlas.Lambdas, Lam_i),
-        thetas=sset(atlas.thetas, th_i),
-        etas=sset(atlas.etas, eta_i),
-        weights=sset(atlas.weights, w_i),
-        timestamps=sset(atlas.timestamps, jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE)),
-        created=sset(atlas.created, jnp.full(w_i.shape, timestamp, dtype=TIME_DTYPE)),
-        last_supported=sset(atlas.last_supported, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
-        last_update=sset(atlas.last_update, jnp.full_like(new_ids, scan_seq.astype(jnp.int32))),
-        primitive_ids=sset(atlas.primitive_ids, new_ids),
-        valid=sset(atlas.valid, jnp.ones_like(ins_valid)),
-        cam_mass=sset(atlas.cam_mass, w_i * cam_i),
-        lidar_mass=sset(atlas.lidar_mass, w_i * (1.0 - cam_i)),
-        rgb_accum=sset(atlas.rgb_accum, col_i * (w_i * cam_i)[:, None]),
-        rgb_denom=sset(atlas.rgb_denom, w_i * cam_i),
-        rgb=sset(atlas.rgb, rgb_new),
+        Lambdas=pick(atlas.Lambdas, 0, 9),
+        thetas=pick(atlas.thetas, 9, 3),
+        etas=pick(atlas.etas, 12, NB),
+        weights=pick(atlas.weights, 12 + NB, 1),
+        timestamps=jnp.where(written, acc64[:, 0].reshape(T, M), atlas.timestamps),
+        created=jnp.where(written, acc64[:, 1].reshape(T, M), atlas.created),
+        last_supported=jnp.where(written, seq32, atlas.last_supported),
+        last_update=jnp.where(written, seq32, atlas.last_update),
+        primitive_ids=jnp.where(
+            written, acc64[:, 3].astype(jnp.int32).reshape(T, M), atlas.primitive_ids
+        ),
+        valid=atlas.valid | written,
+        cam_mass=pick(atlas.cam_mass, 13 + NB, 1),
+        lidar_mass=pick(atlas.lidar_mass, 14 + NB, 1),
+        rgb_accum=pick(atlas.rgb_accum, 15 + NB, 3),
+        rgb_denom=pick(atlas.rgb_denom, 13 + NB, 1),
+        rgb=pick(atlas.rgb, 18 + NB, 3),
         next_global_id=(atlas.next_global_id + n_inserted).astype(jnp.int32),
     )
     insert_mass = jnp.sum(w_i)
@@ -709,7 +781,12 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         iu = jnp.triu_indices(V, k=1)
         upper_ok = jnp.zeros((V, V), dtype=bool).at[iu].set(True)
         d2 = jnp.where(pair_ok & upper_ok, d2, jnp.inf)
-        _, pflat = jax.lax.top_k(-d2.reshape(-1), KC)  # (KC,) flat pair ids
+        # blocked exact top-k: a flat top_k over V*V (=16k) lowers to one
+        # wide sort per tile on TPU; the two-level reduction is identical
+        # in value and tie-break (association._topk_blocked docstring)
+        from gcslam_tpu.ops.association import _topk_blocked
+
+        _, pflat = _topk_blocked(-d2.reshape(-1), KC)  # (KC,) flat pair ids
         pi = (pflat // V).astype(jnp.int32)
         pj = (pflat % V).astype(jnp.int32)
 
