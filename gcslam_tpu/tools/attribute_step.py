@@ -147,11 +147,28 @@ def main(argv=None) -> dict:
     p.add_argument("--json", default=None, metavar="PATH")
     args = p.parse_args(argv)
 
+    # Production TPU precision (same default as bench.py): f64 belief on TPU
+    # is software-emulated with an ~11x compile multiplier — a variant sweep
+    # at f64 spends hours compiling. Override for the f64-parity profile.
+    import os
+
+    os.environ.setdefault("GCSLAM_BELIEF_DTYPE", "float32")
+
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # Persistent compile cache (same dir as bench.py): re-runs of the sweep
+    # skip recompiles of unchanged variants.
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import dataclasses
     import gcslam_tpu  # noqa: F401
     from gcslam_tpu.models.config import PipelineConfig
