@@ -2,13 +2,15 @@
 
 .PHONY: test eval bench native clean
 
-# PALLAS_AXON_POOL_IPS is cleared so the axon sitecustomize does not dial
-# the remote-TPU relay: tests run on the virtual CPU mesh (tests/conftest.py)
-# and the relay register() call deadlocks on a futex whenever another
-# process (bench, profiler) holds the chip — tests must not serialize
-# behind TPU work.
+# Canonical suite lane: tests/run_suite.py runs each test file in a FRESH
+# pytest process, sequentially — no concurrent XLA compiles, no
+# compiled-executable accumulation (the two segfault modes of rounds 1-3),
+# and no wall-clock cost on this single-CPU box. It also clears
+# PALLAS_AXON_POOL_IPS so the axon sitecustomize does not dial the
+# remote-TPU relay (register() deadlocks while another process holds the
+# chip); tests run on the virtual CPU mesh (tests/conftest.py).
 test:
-	env PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
+	python tests/run_suite.py
 
 # the single test path (reference: make eval -> run_and_evaluate_gc.sh)
 eval:

@@ -41,7 +41,43 @@ def _R_to_rotvec(R: np.ndarray) -> np.ndarray:
     sin = np.linalg.norm(vex, axis=-1)
     theta = np.arctan2(sin, cos)
     scale = np.where(sin > 1e-9, theta / np.where(sin == 0, 1, sin), 1.0)
-    return vex * scale[..., None]
+    rv = vex * scale[..., None]
+    # Near theta = pi, sin -> 0 and vex -> 0 while the rotation is maximal:
+    # the vex-scaled formula silently returns ~0 (a 180-deg frame flip would
+    # score as ZERO rotation error and the 180-deg diagnosis could never
+    # fire — caught by tests/test_ate_rpe_golden.py). Recover the axis from
+    # the symmetric part instead: R ~ 2 a a^T - I, so a_i = sqrt((R_ii+1)/2),
+    # off-diagonals fix the relative signs (overall sign is a genuine +/- pi
+    # ambiguity; magnitude — which the metrics use — is exact either way).
+    near_pi = (cos < -0.99) & (sin <= 1e-6)
+    if np.any(near_pi):
+        diag = np.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+        a = np.sqrt(np.maximum(0.0, (diag + 1.0) / 2.0))
+        k = np.argmax(a, axis=-1)
+        idx = np.indices(k.shape)
+        sgn = np.sign(
+            np.stack(
+                [
+                    0.5 * (R[..., 0, 1] + R[..., 1, 0]),
+                    0.5 * (R[..., 1, 2] + R[..., 2, 1]),
+                    0.5 * (R[..., 0, 2] + R[..., 2, 0]),
+                ],
+                axis=-1,
+            )
+        )  # signs of a0*a1, a1*a2, a0*a2
+        # sign pattern relative to the dominant axis component (kept positive)
+        s = np.ones_like(a)
+        s0 = np.where(k == 0, 1.0, np.where(k == 1, sgn[..., 0], sgn[..., 2]))
+        s1 = np.where(k == 1, 1.0, np.where(k == 0, sgn[..., 0], sgn[..., 1]))
+        s2 = np.where(k == 2, 1.0, np.where(k == 1, sgn[..., 1], sgn[..., 2]))
+        s = np.stack([s0, s1, s2], axis=-1)
+        s = np.where(s == 0, 1.0, s)
+        axis = a * s
+        nrm = np.linalg.norm(axis, axis=-1, keepdims=True)
+        axis = axis / np.where(nrm == 0, 1.0, nrm)
+        rv = np.where(near_pi[..., None], axis * theta[..., None], rv)
+        del idx
+    return rv
 
 
 def _compose(a_R, a_t, b_R, b_t):

@@ -17,6 +17,7 @@ from typing import List, Tuple
 
 from gcslam_tpu.utils.xla import jax
 from gcslam_tpu.models.config import PipelineConfig
+from gcslam_tpu.ops.certs import TRIGGERS as _certs_TRIGGERS
 from gcslam_tpu.models.scan_io import ScanBatch, stack_scan_batches
 from gcslam_tpu.models.scan_step import StepState, StepOutput, init_state, scan_step
 
@@ -24,6 +25,65 @@ from gcslam_tpu.models.scan_step import StepState, StepOutput, init_state, scan_
 @functools.partial(jax.jit, static_argnames=("config",))
 def _step_jit(state: StepState, batch: ScanBatch, config: PipelineConfig):
     return scan_step(state, batch, config)
+
+
+class DeadEndMonitor:
+    """Dead-end classification for the status stream (the reference publishes
+    a dedicated /gc/dead_end_status consumed by its wiring auditor,
+    frontend/audit/wiring_auditor.py:37-265; here the classification rides
+    the status JSONL as a `dead_end` field).
+
+    Evaluated at status-emission points (every ~5 s of scan time — a dead end
+    is a sustained condition, not a per-scan blip):
+      - ``stalled_pose``: pose displacement below `pose_eps_m` across
+        `stall_windows` consecutive status windows WHILE point data is
+        flowing (zero-data idling is stream starvation, not a filter stall);
+      - ``exploding_triggers``: per-scan certificate trigger count above
+        `trigger_ratio` x the running median (a healthy scan fires dozens of
+        DECLARED approximation triggers across ops x hypotheses — only a
+        departure from the run's own baseline is anomalous);
+      - ``zero_ess``: evidence support ESS below `ess_floor` (the filter is
+        running on priors only).
+    Empty list = healthy.
+    """
+
+    def __init__(self, pose_eps_m: float = 0.02, stall_windows: int = 2,
+                 trigger_ratio: float = 3.0, ess_floor: float = 1.0,
+                 baseline_len: int = 20):
+        self.pose_eps_m = pose_eps_m
+        self.stall_windows = stall_windows
+        self.trigger_ratio = trigger_ratio
+        self.ess_floor = ess_floor
+        self.baseline_len = baseline_len
+        self._last_pose = None
+        self._stall_count = 0
+        self._trig_hist: list = []
+
+    def update(self, pose_xyz, n_triggers_scan: float, ess_total: float,
+               point_weight_sum: float) -> list:
+        import numpy as np
+
+        flags = []
+        p = np.asarray(pose_xyz, dtype=float)
+        if self._last_pose is not None:
+            moved = float(np.linalg.norm(p - self._last_pose))
+            if moved < self.pose_eps_m and point_weight_sum > 0.0:
+                self._stall_count += 1
+            else:
+                self._stall_count = 0
+            if self._stall_count >= self.stall_windows:
+                flags.append("stalled_pose")
+        self._last_pose = p
+        if len(self._trig_hist) >= 3:
+            base = float(np.median(self._trig_hist))
+            if n_triggers_scan > self.trigger_ratio * max(base, 1.0):
+                flags.append("exploding_triggers")
+        self._trig_hist.append(float(n_triggers_scan))
+        if len(self._trig_hist) > self.baseline_len:
+            self._trig_hist.pop(0)
+        if ess_total < self.ess_floor:
+            flags.append("zero_ess")
+        return flags
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -85,6 +145,7 @@ def run_stream(
         os.makedirs(map_stream_dir, exist_ok=True)
         stream_idx_f = open(f"{map_stream_dir}/map_stream.jsonl", "w")
     status_f = open(status_path, "w") if status_path is not None else None
+    dead_end = DeadEndMonitor() if status_path is not None else None
     t_start = _time.time()
     outs = []
     pose_prev = np.zeros(6)
@@ -141,14 +202,25 @@ def run_stream(
             import json
 
             wall = _time.time() - t_start
+            pose_xyz = COUNTERS.to_host(out.pose)[:3]
+            n_trig = float(out.tape.cert_n_triggers)
+            ess = float(out.tape.support_ess_total)
+            pw_sum = float(out.tape.io_point_weight_sum)
             status_f.write(json.dumps({
                 "scan": i,
                 "stamp": float(COUNTERS.to_host(out.stamp)),
-                "pose_xyz": [round(float(x), 4) for x in COUNTERS.to_host(out.pose)[:3]],
+                "pose_xyz": [round(float(x), 4) for x in pose_xyz],
                 "map_valid_total": float(out.tape.map_valid_total),
-                "n_triggers_scan": float(out.tape.cert_n_triggers),
-                "nonfinite_rejected": bool(float(out.tape.cert_exact) < 1.0),
+                "n_triggers_scan": n_trig,
+                "ess_total": round(ess, 3),
+                # the NonFiniteEvidence trigger BIT, not cert_exact: exact is
+                # 0 whenever any DECLARED approximation ran (i.e. every scan)
+                "nonfinite_rejected": bool(
+                    int(out.tape.cert_triggers)
+                    & _certs_TRIGGERS["NonFiniteEvidence"]
+                ),
                 "loop_weight": float(out.tape.io_loop_weight),
+                "dead_end": dead_end.update(pose_xyz, n_trig, ess, pw_sum),
                 "wall_s": round(wall, 3),
                 "scans_per_s": round((i + 1) / max(wall, 1e-9), 2),
             }) + "\n")

@@ -145,14 +145,27 @@ def main(argv=None) -> dict:
     p.add_argument("--variants", default=",".join(VARIANTS),
                    help="comma list from: " + ",".join(VARIANTS))
     p.add_argument("--json", default=None, metavar="PATH")
+    p.add_argument("--precision", default="f32", choices=["f32", "f64"],
+                   help="belief-algebra dtype for the sweep. Default f32 — "
+                        "production TPU precision (same as bench.py); a f64 "
+                        "sweep spends hours in software-emulated compiles.")
     args = p.parse_args(argv)
 
-    # Production TPU precision (same default as bench.py): f64 belief on TPU
-    # is software-emulated with an ~11x compile multiplier — a variant sweep
-    # at f64 spends hours compiling. Override for the f64-parity profile.
+    # The dtype binds when gcslam_tpu is first imported — which `python -m`
+    # already did for the package __init__ BEFORE main() ran, so an env
+    # setdefault here would be a silent no-op (advisor r3). Re-exec with the
+    # env pinned when the effective dtype differs (same pattern as
+    # eval/run.py); the effective dtype is also recorded in the output JSON.
     import os
+    import sys as _sys
 
-    os.environ.setdefault("GCSLAM_BELIEF_DTYPE", "float32")
+    want = "float32" if args.precision == "f32" else "float64"
+    if os.environ.get("GCSLAM_BELIEF_DTYPE", "float64") != want:
+        env = dict(os.environ, GCSLAM_BELIEF_DTYPE=want)
+        os.execve(_sys.executable,
+                  [_sys.executable, "-m", "gcslam_tpu.tools.attribute_step"]
+                  + [a for a in (argv if argv is not None else _sys.argv[1:])],
+                  env)
 
     if args.cpu:
         import jax
@@ -196,7 +209,10 @@ def main(argv=None) -> dict:
         def measure_fn(cfg):
             return measure(cfg, run.batches, args.steps)
 
+    from gcslam_tpu.utils import xla as _xla
+
     out = {"device": jax.devices()[0].platform, "replay": args.replay,
+           "belief_dtype": str(_xla.BELIEF_DTYPE.__name__),
            "base_budgets": {"atlas": f"{cfg0.atlas_max_tiles}x{cfg0.m_tile}",
                             "view": cfg0.m_tile_view, "k_shortlist": cfg0.k_shortlist,
                             "gn_rounds": cfg0.map_icp_iters}}

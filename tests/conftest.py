@@ -15,10 +15,35 @@ os.environ["GCSLAM_JAX_CACHE_DISABLE"] = "1"
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This box has ONE CPU: XLA's parallel LLVM codegen (default split count 32)
+# spawns a thread storm per compile, and with several pytest processes
+# compiling at once it segfaulted the CPU compiler three rounds in a row.
+# One codegen thread per compile is strictly safer here and not measurably
+# slower on a single core.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 import gcslam_tpu  # noqa: E402,F401  (enables x64 before any test builds arrays)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables after each test module.
+
+    In one long-lived process the suite accumulates ~100 sizeable XLA CPU
+    executables; that accumulation eventually segfaults
+    backend_compile_and_load near the end of the suite (rounds 1-2). The
+    canonical lane (tests/run_suite.py) isolates per file with fresh
+    processes; this fixture protects plain ``pytest tests/`` runs too.
+    Module-scoped so jitted functions stay cached WITHIN a file.
+    """
+    yield
+    jax.clear_caches()
