@@ -30,6 +30,10 @@ REFERENCE_MS_PER_SCAN = 1500.0
 GATE_ATE_TRANS_RMSE_M = 0.30
 GATE_ATE_ROT_RMSE_DEG = 4.0
 GATE_CHUNK_ATE_TRANS_RMSE_M = 0.30
+# Camera path is first-class (VERDICT r3 #3): scored on ATE like the
+# flagship, not finiteness-only.
+GATE_CAM_ATE_TRANS_RMSE_M = 0.30
+GATE_CAM_ATE_ROT_RMSE_DEG = 4.0
 
 # Production TPU precision: f32 belief algebra (absolute stamps stay f64 via
 # TIME_DTYPE). On TPU f64 is software-emulated — f32 cuts cold compile ~11x
@@ -38,7 +42,7 @@ GATE_CHUNK_ATE_TRANS_RMSE_M = 0.30
 os.environ.setdefault("GCSLAM_BELIEF_DTYPE", "float32")
 
 N_SCANS = 50
-N_SCANS_CAM = 20
+N_SCANS_CAM = 50
 CHUNK = 10
 
 
@@ -135,6 +139,43 @@ def main() -> None:
     ate_c = ate_rpe.compute_ate(np.asarray(out_c.pose), run.gt_poses, align="initial")
     report["chunked_ate_trans_rmse_m"] = round(ate_c["translation"]["rmse"], 4)
 
+    # --- 2b. OVERLAPPED streaming (VERDICT r3 #7): stage chunk N+1 (host
+    # stack + device_put on a second thread) while chunk N computes — the
+    # wall-clock a live robot actually sees (reference async LiDAR worker,
+    # backend_node.py:1340-1388). One (CHUNK,)-shaped program per chunk;
+    # staging is hidden iff stream_overlapped_ms ~= replay_ms + dispatch.
+    import queue as _queue
+    import threading
+
+    chunk_fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg))
+    win0 = jax.device_put(stack_scan_batches(run.batches[:CHUNK]))
+    t0 = time.time()
+    st_w, out_w = chunk_fn(init_state(cfg), win0)
+    _read(out_w.pose)
+    report["compile_overlap_s"] = round(time.time() - t0, 1)
+
+    n_chunks = N_SCANS // CHUNK
+    staged: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _producer():
+        for c in range(n_chunks):
+            w = stack_scan_batches(run.batches[c * CHUNK:(c + 1) * CHUNK])
+            staged.put(jax.device_put(w))  # h2d overlaps device compute
+        staged.put(None)
+
+    state_o = init_state(cfg)
+    prod = threading.Thread(target=_producer, daemon=True)
+    t0 = time.time()
+    prod.start()
+    while True:
+        w = staged.get()
+        if w is None:
+            break
+        state_o, out_o = chunk_fn(state_o, w)
+    _read(out_o.pose)
+    overlapped_ms = (time.time() - t0) / N_SCANS * 1000.0
+    report["stream_overlapped_ms"] = round(overlapped_ms, 4)
+
     # --- 3. per-step host loop (worst-case dispatch bound) ----------------
     state_s = init_state(cfg)
     for b in run.batches[:3]:
@@ -162,7 +203,11 @@ def main() -> None:
         _, out_cam = cam_fn(init_state(cfg_cam), batches_cam)
         _read(out_cam.pose)
         report["camera_replay_ms"] = round((time.time() - t0) / N_SCANS_CAM * 1000.0, 4)
-        report["camera_finite"] = bool(np.all(np.isfinite(np.asarray(out_cam.pose))))
+        poses_cam = np.asarray(out_cam.pose)
+        report["camera_finite"] = bool(np.all(np.isfinite(poses_cam)))
+        ate_cam = ate_rpe.compute_ate(poses_cam, run_cam.gt_poses, align="initial")
+        report["camera_ate_trans_rmse_m"] = round(ate_cam["translation"]["rmse"], 4)
+        report["camera_ate_rot_rmse_deg"] = round(ate_cam["rotation_deg"]["rmse"], 3)
     except Exception as e:  # camera variant must not mask the headline
         report["camera_error"] = str(e)[:200]
 
@@ -179,6 +224,12 @@ def main() -> None:
                         f"> {GATE_CHUNK_ATE_TRANS_RMSE_M}")
     if report.get("camera_finite") is False:
         failures.append("camera path non-finite")
+    if report.get("camera_ate_trans_rmse_m", 0.0) > GATE_CAM_ATE_TRANS_RMSE_M:
+        failures.append(f"camera ATE trans {report['camera_ate_trans_rmse_m']} "
+                        f"> {GATE_CAM_ATE_TRANS_RMSE_M}")
+    if report.get("camera_ate_rot_rmse_deg", 0.0) > GATE_CAM_ATE_ROT_RMSE_DEG:
+        failures.append(f"camera ATE rot {report['camera_ate_rot_rmse_deg']} "
+                        f"> {GATE_CAM_ATE_ROT_RMSE_DEG}")
 
     result = {
         "metric": "ms_per_scan_full_pipeline",

@@ -182,7 +182,11 @@ def main(argv=None) -> dict:
             gt_stamps_raw, gt_raw = tum_mod.read_tum(args.gt)
             scan_stamps = np.asarray([float(b.t_scan) for b in batches])
             gt_tools.check_time_overlap(scan_stamps, gt_stamps_raw)
-            gt_poses = gt_tools.interpolate_gt(gt_stamps_raw, gt_raw, scan_stamps)
+            # interpolate_gt returns (poses, valid_mask): the mask flags
+            # scans outside the GT time range (unpacking only the first
+            # element used to hand a TUPLE to compute_ate — crash).
+            gt_poses, _gt_valid = gt_tools.interpolate_gt(
+                gt_stamps_raw, gt_raw, scan_stamps)
             gt_times = scan_stamps
     else:
         from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig

@@ -216,16 +216,18 @@ class SyntheticRun(NamedTuple):
     gt_times: np.ndarray  # (n_scans,)
 
 
-def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
-    rng = np.random.default_rng(cfg.seed)
-    scan_dt = 1.0 / cfg.scan_rate_hz
-    imu_dt = 1.0 / cfg.imu_rate_hz
-    duration = cfg.n_scans * scan_dt
+def build_trajectory(cfg: SyntheticConfig):
+    """Ground-truth trajectory sampler shared by generate() and the bag
+    synthesizer (frontend/bag_synth.py) so ScanBatches and synthesized bags
+    describe the SAME world. Robot starts AT REST, speed ramps with a
+    raised-cosine profile over t_ramp, yaw rate ramps identically (rigs in
+    the canonical bags start stationary; an instant-velocity start would
+    fight the filter's at-rest prior through the IMU preint factor).
 
-    # Ground truth on a dense grid: robot starts AT REST, speed ramps with a
-    # raised-cosine profile over t_ramp, yaw rate ramps identically (rigs in
-    # the canonical bags start stationary; an instant-velocity start would
-    # fight the filter's at-rest prior through the IMU preint factor).
+    Returns traj(t) -> (pos(…,3), yaw, v_world(…,3), omega_z, a_world(…,3)).
+    """
+    imu_dt = 1.0 / cfg.imu_rate_hz
+    duration = cfg.n_scans / cfg.scan_rate_hz
     t_ramp = min(2.0, 0.25 * duration)
     grid = np.arange(0.0, duration + 2 * imu_dt, imu_dt / 4.0)
 
@@ -270,6 +272,16 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
         v_world = np.stack([vxi, vyi, z], -1)
         a_world = np.stack([axi, ayi, z], -1)
         return pos, yaw, v_world, wz, a_world
+
+    return traj
+
+
+def generate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticRun:
+    rng = np.random.default_rng(cfg.seed)
+    scan_dt = 1.0 / cfg.scan_rate_hz
+    imu_dt = 1.0 / cfg.imu_rate_hz
+
+    traj = build_trajectory(cfg)
 
     g_w = np.array(C.GRAVITY_W)
     gyro_bias = np.array(cfg.gyro_bias)
