@@ -133,12 +133,18 @@ def allocate_tiles(
     )
     tile_ids, last_active, slots, was_new = jax.lax.fori_loop(0, S, body, carry0)
 
-    # one scatter builds the per-slot clear mask; one where per array clears
-    clear_mask = jnp.zeros((T,), dtype=bool).at[slots].max(was_new)
+    # Newly-claimed slots get their content cleared by a SLOT-ROW scatter
+    # (S rows), not a full-atlas where-pass: the previous clear_mask/where
+    # formulation read+wrote every (T, M, ...) array each scan — one of the
+    # O(T*M) passes behind the 15 ms atlas-size-proportional cost in
+    # ATTRIB_r04. Rows for already-present tiles point out of bounds (T) and
+    # are dropped; duplicate targets cannot occur (distinct new queries claim
+    # distinct victims — claiming bumps last_active, so the next argmin moves).
+    clear_slots = jnp.where(was_new, slots, jnp.int32(T))
 
-    def zc(x):
-        m = clear_mask.reshape((T,) + (1,) * (x.ndim - 1))
-        return jnp.where(m, jnp.zeros_like(x), x)
+    def zc(x, fill=0):
+        upd = jnp.full((S,) + x.shape[1:], fill, dtype=x.dtype)
+        return x.at[clear_slots].set(upd, mode="drop")
 
     atlas = atlas._replace(
         tile_ids=tile_ids,
@@ -151,13 +157,13 @@ def allocate_tiles(
         created=zc(atlas.created),
         last_supported=zc(atlas.last_supported),
         last_update=zc(atlas.last_update),
-        primitive_ids=jnp.where(clear_mask[:, None], -1, atlas.primitive_ids),
-        valid=jnp.where(clear_mask[:, None], False, atlas.valid),
+        primitive_ids=zc(atlas.primitive_ids, fill=-1),
+        valid=zc(atlas.valid, fill=False),
         cam_mass=zc(atlas.cam_mass),
         lidar_mass=zc(atlas.lidar_mass),
         rgb_accum=zc(atlas.rgb_accum),
         rgb_denom=zc(atlas.rgb_denom),
-        rgb=jnp.where(clear_mask[:, None, None], 0.5, atlas.rgb),
+        rgb=zc(atlas.rgb, fill=0.5),
     )
     return atlas, slots
 
@@ -484,23 +490,33 @@ def _transform_to_world(Lam_b, th_b, eta_b, R, t, eps_lift):
 
 
 def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
-          Lam_w, th_w, eta_w, scan_seq, timestamp, cfg: PipelineConfig):
+          Lam_w, th_w, eta_w, active_slots, scan_seq, timestamp, cfg: PipelineConfig):
     """PoE scatter-add fuse of all (meas, candidate) pairs in ONE pass
-    (replaces the reference's Python block x tile loops, pipeline.py:1258-1327)."""
+    (replaces the reference's Python block x tile loops, pipeline.py:1258-1327).
+
+    SLAB LAYOUT: the accumulator and every read-modify-write run over the
+    (S_active, M) slab of stencil tiles, not the full (T, M) atlas — the
+    previous full-atlas accumulator + per-array adds/wheres were ~15 ms/scan
+    of pure T*M-proportional HBM traffic (ATTRIB_r04: tiles_32 -11.5 ms,
+    m_tile_1024 -7.9 ms). Pool row p sits at stencil position p // m_tile_view
+    by construction (extract_view stitches tiles in active_slots order), so
+    the pool -> slab mapping needs no table lookup."""
     T, M = atlas.weights.shape
+    S = active_slots.shape[0]
+    V = cfg.m_tile_view
     N, K = extras.responsibilities.shape
     pool = extras.cand_pool.reshape(-1)  # (N*K,)
     resp = extras.responsibilities.reshape(-1).astype(MAPF)
     pair_valid = (extras.batch.valid[:, None] & view.valid[pool].reshape(N, K)).reshape(-1)
     resp = resp * pair_valid.astype(MAPF)
 
-    tile_slot = view.tile_slot[pool]  # (N*K,)
+    stencil_pos = pool // V  # (N*K,) slab tile index
     slot = view.slot[pool]
-    # invalid pairs target T*M: a POSITIVE out-of-bounds row, which
+    # invalid pairs target S*M: a POSITIVE out-of-bounds row, which
     # mode="drop" really drops. (A -1 sentinel WRAPS to the last atlas slot
     # under JAX scatter semantics even with mode="drop" — the zero payload
     # kept it harmless here, but the sentinel must still be OOB-positive.)
-    flat = jnp.where(pair_valid, tile_slot * M + slot, T * M)
+    flat = jnp.where(pair_valid, stencil_pos * M + slot, S * M)
 
     rep = lambda x: jnp.repeat(x, K, axis=0)
     Lam_m = rep(Lam_w).astype(MAPF)
@@ -533,7 +549,7 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
         axis=1,
     )  # (N*K, 17 + NB)
     acc = (
-        jnp.zeros((T * M, payload.shape[1]), dtype=MAPF)
+        jnp.zeros((S * M, payload.shape[1]), dtype=MAPF)
         .at[flat].add(payload, mode="drop")
     )
 
@@ -541,31 +557,42 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
         a = acc[:, o] if w == 1 else acc[:, o:o + w]
         return a.reshape(shape)
 
-    Lambdas = atlas.Lambdas + seg(0, 9, (T, M, 3, 3))
-    thetas = atlas.thetas + seg(9, 3, (T, M, 3))
-    etas = atlas.etas + seg(12, NB, (T, M, C.VMF_N_LOBES, 3))
-    weights = atlas.weights + seg(12 + NB, 1, (T, M))
-    cam_inc = seg(13 + NB, 1, (T, M))
-    cam_mass = atlas.cam_mass + cam_inc
-    lidar_mass = atlas.lidar_mass + seg(14 + NB, 1, (T, M))
-    rgb_accum = atlas.rgb_accum + seg(15 + NB, 3, (T, M, 3))
-    rgb_denom = atlas.rgb_denom + cam_inc  # rgb_denom increment == cam-mass increment
-    resp_sum = seg(18 + NB, 1, (T, M))
+    # Pure-additive channels: scatter-ADD the slab increment into the S
+    # active tile rows. Channels whose update depends on the OLD value
+    # (timestamps/rgb/...) gather the S-row slab, combine, scatter-SET.
+    cam_inc = seg(13 + NB, 1, (S, M))
+    cam_slab = atlas.cam_mass[active_slots] + cam_inc
+    rgb_accum_slab = atlas.rgb_accum[active_slots] + seg(15 + NB, 3, (S, M, 3))
+    rgb_denom_slab = atlas.rgb_denom[active_slots] + cam_inc
+    resp_sum = seg(18 + NB, 1, (S, M))
     updated = resp_sum > 0.0
-    last_supported = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_supported)
-    last_update = jnp.where(updated, scan_seq.astype(jnp.int32), atlas.last_update)
-    timestamps = jnp.where(updated, timestamp.astype(TIME_DTYPE), atlas.timestamps)
-
-    has_cam = cam_mass > 0.0
-    rgb_est = jnp.clip(rgb_accum / jnp.maximum(rgb_denom[..., None], cfg.eps_mass), 0.0, 1.0)
-    rgb = jnp.where(has_cam[..., None], rgb_est, 0.5)
+    seq32 = scan_seq.astype(jnp.int32)
+    ls_slab = jnp.where(updated, seq32, atlas.last_supported[active_slots])
+    lu_slab = jnp.where(updated, seq32, atlas.last_update[active_slots])
+    ts_slab = jnp.where(
+        updated, timestamp.astype(TIME_DTYPE), atlas.timestamps[active_slots]
+    )
+    has_cam = cam_slab > 0.0
+    rgb_est = jnp.clip(
+        rgb_accum_slab / jnp.maximum(rgb_denom_slab[..., None], cfg.eps_mass), 0.0, 1.0
+    )
+    rgb_slab = jnp.where(has_cam[..., None], rgb_est, 0.5)
 
     fused_mass = jnp.sum(resp * w_m)
+    a = active_slots
     atlas = atlas._replace(
-        Lambdas=Lambdas, thetas=thetas, etas=etas, weights=weights,
-        timestamps=timestamps, last_supported=last_supported, last_update=last_update,
-        cam_mass=cam_mass, lidar_mass=lidar_mass,
-        rgb_accum=rgb_accum, rgb_denom=rgb_denom, rgb=rgb,
+        Lambdas=atlas.Lambdas.at[a].add(seg(0, 9, (S, M, 3, 3))),
+        thetas=atlas.thetas.at[a].add(seg(9, 3, (S, M, 3))),
+        etas=atlas.etas.at[a].add(seg(12, NB, (S, M, C.VMF_N_LOBES, 3))),
+        weights=atlas.weights.at[a].add(seg(12 + NB, 1, (S, M))),
+        timestamps=atlas.timestamps.at[a].set(ts_slab),
+        last_supported=atlas.last_supported.at[a].set(ls_slab),
+        last_update=atlas.last_update.at[a].set(lu_slab),
+        cam_mass=atlas.cam_mass.at[a].set(cam_slab),
+        lidar_mass=atlas.lidar_mass.at[a].add(seg(14 + NB, 1, (S, M))),
+        rgb_accum=atlas.rgb_accum.at[a].set(rgb_accum_slab),
+        rgb_denom=atlas.rgb_denom.at[a].set(rgb_denom_slab),
+        rgb=atlas.rgb.at[a].set(rgb_slab),
     )
     return atlas, fused_mass
 
@@ -620,10 +647,14 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     new_ids = jnp.where(ins_valid, order_ids, jnp.int32(-1))
     n_inserted = jnp.sum(ins_valid.astype(jnp.int32)).astype(jnp.int32)
 
+    # SLAB target: active tile a's evictions land at slab row a*M + slot;
+    # invalid rows point at A*M (positive OOB -> really dropped; the previous
+    # -1 sentinel WRAPS to the last atlas slot even under mode="drop" and
+    # clobbered it with a weight-0 ghost every scan).
     flat = jnp.where(
         ins_valid,
-        jnp.repeat(active_slots, Kin) * M + evict_slots.reshape(-1),
-        -1,
+        jnp.repeat(jnp.arange(A, dtype=jnp.int32), Kin) * M + evict_slots.reshape(-1),
+        A * M,
     )
     # Mass of evicted (still-valid) slots — a certified budgeting approximation.
     ret_gather = jnp.take_along_axis(
@@ -663,36 +694,47 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
         ],
         axis=1,
     )  # (A*Kin, 4): timestamp, created, scan_seq (last_supported==last_update), id
+    # Slab accumulators: (A*M, .) — the full-atlas (T*M, .) accumulators +
+    # per-array where-passes here were the other half of the 15 ms
+    # T*M-proportional cost (ATTRIB_r04). Each channel gathers its S-row
+    # slab, takes written rows from the payload, and scatter-SETs back.
     acc32 = (
-        jnp.zeros((T * M, pay32.shape[1]), dtype=MAPF).at[flat].set(pay32, mode="drop")
+        jnp.zeros((A * M, pay32.shape[1]), dtype=MAPF).at[flat].set(pay32, mode="drop")
     )
     acc64 = (
-        jnp.zeros((T * M, 4), dtype=TIME_DTYPE).at[flat].set(pay64, mode="drop")
+        jnp.zeros((A * M, 4), dtype=TIME_DTYPE).at[flat].set(pay64, mode="drop")
     )
     written = (
-        jnp.zeros((T * M,), dtype=bool).at[flat].set(True, mode="drop").reshape(T, M)
+        jnp.zeros((A * M,), dtype=bool).at[flat].set(True, mode="drop").reshape(A, M)
     )
 
     def pick(old, o, w):
-        flat_old = old.reshape((T * M,) + old.shape[2:])
-        new = (acc32[:, o] if w == 1 else acc32[:, o:o + w]).reshape(flat_old.shape)
-        m = written.reshape((T * M,) + (1,) * (old.ndim - 2))
-        return jnp.where(m, new, flat_old).reshape(old.shape)
+        old_slab = old[active_slots].reshape((A * M,) + old.shape[2:])
+        new = (acc32[:, o] if w == 1 else acc32[:, o:o + w]).reshape(old_slab.shape)
+        m = written.reshape((A * M,) + (1,) * (old.ndim - 2))
+        slab = jnp.where(m, new, old_slab).reshape((A, M) + old.shape[2:])
+        return old.at[active_slots].set(slab)
 
-    seq32 = acc64[:, 2].astype(jnp.int32).reshape(T, M)
+    def pick64(old, col, astype=None):
+        new = acc64[:, col].reshape(A, M)
+        if astype is not None:
+            new = new.astype(astype)
+        slab = jnp.where(written, new, old[active_slots])
+        return old.at[active_slots].set(slab)
+
     atlas = atlas._replace(
         Lambdas=pick(atlas.Lambdas, 0, 9),
         thetas=pick(atlas.thetas, 9, 3),
         etas=pick(atlas.etas, 12, NB),
         weights=pick(atlas.weights, 12 + NB, 1),
-        timestamps=jnp.where(written, acc64[:, 0].reshape(T, M), atlas.timestamps),
-        created=jnp.where(written, acc64[:, 1].reshape(T, M), atlas.created),
-        last_supported=jnp.where(written, seq32, atlas.last_supported),
-        last_update=jnp.where(written, seq32, atlas.last_update),
-        primitive_ids=jnp.where(
-            written, acc64[:, 3].astype(jnp.int32).reshape(T, M), atlas.primitive_ids
+        timestamps=pick64(atlas.timestamps, 0),
+        created=pick64(atlas.created, 1),
+        last_supported=pick64(atlas.last_supported, 2, jnp.int32),
+        last_update=pick64(atlas.last_update, 2, jnp.int32),
+        primitive_ids=pick64(atlas.primitive_ids, 3, jnp.int32),
+        valid=atlas.valid.at[active_slots].set(
+            atlas.valid[active_slots] | written
         ),
-        valid=atlas.valid | written,
         cam_mass=pick(atlas.cam_mass, 13 + NB, 1),
         lidar_mass=pick(atlas.lidar_mass, 14 + NB, 1),
         rgb_accum=pick(atlas.rgb_accum, 15 + NB, 3),
@@ -759,16 +801,30 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     V = min(V_MERGE, Mfull)
     KC = min(KC_MERGE, (V * (V - 1)) // 2)
 
-    w_all = atlas.weights[active_slots]
-    v_all = atlas.valid[active_slots]
-    score = jnp.where(v_all, w_all, -jnp.inf)
+    # SLAB LAYOUT (same rationale as _fuse/_insert): gather the (A, M)
+    # stencil slab once, merge WITHIN the slab, scatter the slab back. The
+    # previous apply was ~12 scatters targeting full (T, M, ...) arrays —
+    # XLA copy-inserts several of them, which made merge cost scale with
+    # TOTAL atlas size (ATTRIB r4 mid-round: no_merge -5.1 ms with residual
+    # tiles_32 dependence after the fuse/insert slab refactor).
+    w_slab = atlas.weights[active_slots]  # (A, M)
+    v_slab = atlas.valid[active_slots]
+    Lam_slab = atlas.Lambdas[active_slots]
+    th_slab = atlas.thetas[active_slots]
+    eta_slab = atlas.etas[active_slots]
+    cam_slab = atlas.cam_mass[active_slots]
+    lid_slab = atlas.lidar_mass[active_slots]
+    rga_slab = atlas.rgb_accum[active_slots]
+    rgd_slab = atlas.rgb_denom[active_slots]
+    ls_slab = atlas.last_supported[active_slots]
+    score = jnp.where(v_slab, w_slab, -jnp.inf)
     _, cand = jax.lax.top_k(score, V)  # (A, V)
 
-    def per_tile(tslot, cand_slots):
-        Lam = jnp.take(atlas.Lambdas[tslot], cand_slots, axis=0).astype(f64)
-        th = jnp.take(atlas.thetas[tslot], cand_slots, axis=0).astype(f64)
-        w = jnp.take(atlas.weights[tslot], cand_slots).astype(f64)
-        v = jnp.take(atlas.valid[tslot], cand_slots)
+    def per_tile(Lam_t, th_t, w_t, v_t, cand_slots):
+        Lam = jnp.take(Lam_t, cand_slots, axis=0).astype(f64)
+        th = jnp.take(th_t, cand_slots, axis=0).astype(f64)
+        w = jnp.take(w_t, cand_slots).astype(f64)
+        v = jnp.take(v_t, cand_slots)
         Lam_r = Lam + C.EPS_LIFT * jnp.eye(3, dtype=f64)
         Sig = linalg.inv3x3(Lam_r)
         mu = jnp.einsum("vij,vj->vi", Sig, th)
@@ -800,7 +856,9 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         dist = jnp.where(v[pi] & v[pj] & jnp.isfinite(d2.reshape(-1)[pflat]), dist, jnp.inf)
         return dist, pi, pj, mu, Sig, w, v
 
-    dists, pis, pjs, mus, Sigs, ws, vs = jax.vmap(per_tile)(active_slots, cand)
+    dists, pis, pjs, mus, Sigs, ws, vs = jax.vmap(per_tile)(
+        Lam_slab, th_slab, w_slab, v_slab, cand
+    )
 
     # Greedy disjoint selection: Kp iterations of masked argmin over the
     # (KC,) pair shortlist per tile (pairs sharing a slot with a selected
@@ -860,40 +918,56 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     Lam_m = linalg.inv3x3(S_m)
     th_m = jnp.einsum("akij,akj->aki", Lam_m, mu_m)
 
-    tslot = jnp.broadcast_to(active_slots[:, None], (A, Kp))  # (A, Kp)
     ci = jnp.take_along_axis(cand, ii, axis=1)
     cj = jnp.take_along_axis(cand, jj, axis=1)
-    eta_i = atlas.etas[tslot, ci].astype(BELIEF_DTYPE)
-    eta_j = atlas.etas[tslot, cj].astype(BELIEF_DTYPE)
+
+    def g2(x, idx):  # (A, M, ...) gathered at (A, Kp) slot indices
+        return jnp.take_along_axis(
+            x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+
+    eta_i = g2(eta_slab, ci).astype(BELIEF_DTYPE)
+    eta_j = g2(eta_slab, cj).astype(BELIEF_DTYPE)
     eta_m = (w1[..., None, None] * eta_i + w2[..., None, None] * eta_j) / wsafe[..., None, None]
 
-    # masked scatter targets: not-ok pairs write out of bounds -> dropped
-    ts_w = jnp.where(ok, tslot, T)
-    ci_w = jnp.where(ok, ci, M)
-    cj_w = jnp.where(ok, cj, M)
-    drop = dict(mode="drop")
+    # masked SLAB scatter targets: not-ok pairs write row A*M (positive OOB
+    # -> really dropped); winner rows (fi) and loser rows (fj) are disjoint
+    # within a scatter (greedy-disjoint pairs, tiles at distinct slab rows).
+    af = jnp.arange(A, dtype=jnp.int32)[:, None]
+    fi = jnp.where(ok, af * M + ci, A * M).reshape(-1)
+    fj = jnp.where(ok, af * M + cj, A * M).reshape(-1)
 
-    cam_i, cam_j = atlas.cam_mass[tslot, ci], atlas.cam_mass[tslot, cj]
-    lid_i, lid_j = atlas.lidar_mass[tslot, ci], atlas.lidar_mass[tslot, cj]
-    rga_i, rga_j = atlas.rgb_accum[tslot, ci], atlas.rgb_accum[tslot, cj]
-    rgd_i, rgd_j = atlas.rgb_denom[tslot, ci], atlas.rgb_denom[tslot, cj]
-    ls_i, ls_j = atlas.last_supported[tslot, ci], atlas.last_supported[tslot, cj]
+    def supd(slab, fidx, val):
+        flat = slab.reshape((A * M,) + slab.shape[2:])
+        v = val.reshape((-1,) + val.shape[2:]).astype(slab.dtype)
+        return flat.at[fidx].set(v, mode="drop").reshape(slab.shape)
 
+    cam_i, cam_j = g2(cam_slab, ci), g2(cam_slab, cj)
+    lid_i, lid_j = g2(lid_slab, ci), g2(lid_slab, cj)
+    rga_i, rga_j = g2(rga_slab, ci), g2(rga_slab, cj)
+    rgd_i, rgd_j = g2(rgd_slab, ci), g2(rgd_slab, cj)
+    ls_i, ls_j = g2(ls_slab, ci), g2(ls_slab, cj)
+    zero_k = jnp.zeros_like(w1)
+
+    a = active_slots
     atlas = atlas._replace(
-        Lambdas=atlas.Lambdas.at[ts_w, ci_w].set(Lam_m.astype(MAPF), **drop),
-        thetas=atlas.thetas.at[ts_w, ci_w].set(th_m.astype(MAPF), **drop),
-        etas=atlas.etas.at[ts_w, ci_w].set(eta_m.astype(MAPF), **drop),
-        weights=atlas.weights.at[ts_w, ci_w].set(wsum.astype(MAPF), **drop)
-        .at[ts_w, cj_w].set(0.0, **drop),
-        valid=atlas.valid.at[ts_w, cj_w].set(False, **drop),
-        cam_mass=atlas.cam_mass.at[ts_w, ci_w].set(cam_i + cam_j, **drop)
-        .at[ts_w, cj_w].set(0.0, **drop),
-        lidar_mass=atlas.lidar_mass.at[ts_w, ci_w].set(lid_i + lid_j, **drop)
-        .at[ts_w, cj_w].set(0.0, **drop),
-        rgb_accum=atlas.rgb_accum.at[ts_w, ci_w].set(rga_i + rga_j, **drop),
-        rgb_denom=atlas.rgb_denom.at[ts_w, ci_w].set(rgd_i + rgd_j, **drop),
-        last_supported=atlas.last_supported.at[ts_w, ci_w].set(
-            jnp.maximum(ls_i, ls_j), **drop
+        Lambdas=atlas.Lambdas.at[a].set(supd(Lam_slab, fi, Lam_m)),
+        thetas=atlas.thetas.at[a].set(supd(th_slab, fi, th_m)),
+        etas=atlas.etas.at[a].set(supd(eta_slab, fi, eta_m)),
+        weights=atlas.weights.at[a].set(
+            supd(supd(w_slab, fi, wsum), fj, zero_k)
+        ),
+        valid=atlas.valid.at[a].set(supd(v_slab, fj, jnp.zeros_like(ok))),
+        cam_mass=atlas.cam_mass.at[a].set(
+            supd(supd(cam_slab, fi, cam_i + cam_j), fj, zero_k)
+        ),
+        lidar_mass=atlas.lidar_mass.at[a].set(
+            supd(supd(lid_slab, fi, lid_i + lid_j), fj, zero_k)
+        ),
+        rgb_accum=atlas.rgb_accum.at[a].set(supd(rga_slab, fi, rga_i + rga_j)),
+        rgb_denom=atlas.rgb_denom.at[a].set(supd(rgd_slab, fi, rgd_i + rgd_j)),
+        last_supported=atlas.last_supported.at[a].set(
+            supd(ls_slab, fi, jnp.maximum(ls_i, ls_j))
         ),
     )
     return atlas, jnp.sum(n_sel)
@@ -918,7 +992,9 @@ def map_update_step(
         b.Lambdas, b.thetas, b.etas, R_t, t_t, cfg.eps_lift
     )
 
-    atlas, fused_mass = _fuse(atlas, view, extras, Lam_w, th_w, eta_w, scan_seq, timestamp, cfg)
+    atlas, fused_mass = _fuse(
+        atlas, view, extras, Lam_w, th_w, eta_w, active_slots, scan_seq, timestamp, cfg
+    )
     atlas, insert_mass, evicted_mass, ins_events = _insert(
         atlas, extras, mu_w, Lam_w, th_w, eta_w, active_slots, active_ids, scan_seq, timestamp, cfg
     )

@@ -83,7 +83,10 @@ def main(argv=None) -> int:
     t_suite = time.time()
     for path in files:
         name = os.path.basename(path)
-        cmd = [sys.executable, "-m", "pytest", path, "-q", "-p", "no:cacheprovider",
+        # NOTE: no explicit -q here — pyproject addopts already carries -q,
+        # and doubling it to -qq suppresses the "N passed" summary line the
+        # count parser reads (observed: every file reported 0 passed).
+        cmd = [sys.executable, "-m", "pytest", path, "-p", "no:cacheprovider",
                # override any xdist addopts from pyproject: one file, one process
                "-p", "no:xdist"]
         if args.k:

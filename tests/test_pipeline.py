@@ -19,6 +19,21 @@ SMALL = dict(
 )
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """Per-TEST executable drop for THIS file only.
+
+    The module-scope clear in conftest.py is not enough here: this file alone
+    accumulates enough XLA CPU executables that the 13th test's compile
+    segfaults backend_compile_and_load deterministically — sequentially, in a
+    lone process, with single-threaded codegen (reproduced round 4; the same
+    crash xdist hit in round 3). Tests in this file share almost no jitted
+    programs (each builds its own config), so the cache loss costs little.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def small_run():
     return generate(SyntheticConfig(n_scans=10, n_points=512))
