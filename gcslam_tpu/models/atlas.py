@@ -168,6 +168,20 @@ def allocate_tiles(
     return atlas, slots
 
 
+def _select_top(score, k: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k for the map update's BUDGET-HEURISTIC selections (view rows,
+    merge candidates, insert proposals, eviction ranking). lax.top_k lowers
+    to a wide-axis sort on TPU — these four (7, 1536..2048) sorts were a
+    measurable slice of the 36 sort ops in the compiled scan body; with
+    cfg.select_recall in (0, 1) they run as approx_max_k (PartialReduce)
+    instead. Each call site is already a declared fixed-budget heuristic
+    (approx_selection trigger raised scan-wide); 1.0 = exact."""
+    r = getattr(cfg, "select_recall", 1.0)
+    if 0.0 < r < 1.0 and k < score.shape[-1]:
+        return jax.lax.approx_max_k(score, k, recall_target=float(r))
+    return jax.lax.top_k(score, k)
+
+
 # ---------------------------------------------------------------------------
 # Recency inflation (reference primitive_map.py:1404-1486)
 # ---------------------------------------------------------------------------
@@ -223,9 +237,10 @@ def extract_view(
     valid = atlas.valid[tile_slots] & tile_found[:, None]
     pid = atlas.primitive_ids[tile_slots]
     score = jnp.where(valid, w, -jnp.inf)
-    # top-V by weight; jax.lax.top_k breaks ties by lowest index (slot order),
-    # matching the reference's deterministic ordering intent.
-    _, top_slots = jax.lax.top_k(score, V)  # (S, V)
+    # top-V by weight; ties break by lowest index (slot order), matching the
+    # reference's deterministic ordering intent (approx backend per
+    # _select_top when cfg.select_recall < 1).
+    _, top_slots = _select_top(score, V, cfg)  # (S, V)
 
     Lam = jnp.take_along_axis(atlas.Lambdas[tile_slots], top_slots[:, :, None, None], axis=1)
     th = jnp.take_along_axis(atlas.thetas[tile_slots], top_slots[:, :, None], axis=1)
@@ -305,6 +320,11 @@ def build_measurement_inputs(
         cfg.n_surfel, cfg.surfel_voxel_size_m, cfg.surfel_min_points_per_voxel,
         sensor_var=sensor_var,
     )
+    if 0.0 < getattr(cfg, "select_recall", 1.0) < 1.0:
+        # the map update's budget selections run approximate this scan
+        surf_cert = surf_cert._replace(
+            triggers=surf_cert.triggers | jnp.uint64(TRIGGERS["approx_selection"])
+        )
     if cfg.with_camera:
         cam = (batch_in.cam_Lambdas, batch_in.cam_thetas, batch_in.cam_etas,
                batch_in.cam_weights, batch_in.cam_colors, batch_in.cam_valid)
@@ -320,7 +340,10 @@ def build_measurement_inputs(
     if cfg.k_shortlist > 0:
         R_sl = se3.so3_exp(z_center[3:6])
         mpos_w = mean_positions(mbatch, cfg.eps_lift) @ R_sl.T + z_center[None, :3]
-        shortlist = assoc_mod.shortlist_candidates(mpos_w, mbatch.valid, atlas_view, cfg)
+        sl_idx = assoc_mod.shortlist_candidates(mpos_w, mbatch.valid, atlas_view, cfg)
+        # one-shot gather of every round-invariant candidate attribute —
+        # the GN rounds then run gather-free (association.CandidateSet)
+        shortlist = assoc_mod.gather_candidates(atlas_view, sl_idx)
     else:
         shortlist = None
     return mbatch, shortlist, surf_cert
@@ -408,7 +431,7 @@ def map_gn_evidence(mbatch, shortlist, surf_cert, atlas_view: AtlasView,
             shortlist=shortlist,
         )
         L_lidar, h_lidar, vis_cert = evidence_pose.primitive_pose_evidence(
-            assoc, mbatch, atlas_view, z, cfg_r
+            assoc, mbatch, atlas_view, z, cfg_r, cands=shortlist
         )
         return (z, L_lidar, h_lidar, assoc, assoc_cert, vis_cert), cfg_r
 
@@ -621,15 +644,18 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     # f32, carried non-finite positions into the atlas.
     in_tile = meas_tile_ids[None, :] == active_ids[:, None]  # (A, N)
     score_t = jnp.where(in_tile, score[None, :], -1e30)
-    top_score, top_idx = jax.lax.top_k(score_t, Kin)  # (A, Kin)
+    top_score, top_idx = _select_top(score_t, Kin, cfg)  # (A, Kin)
     do_insert = top_score > 0.0  # in-tile & valid & positive novelty mass
 
     # Eviction targets: Kin lowest-retention slots per tile (invalid first).
     dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - atlas.last_supported[active_slots])
     decay = jnp.exp(-cfg.recency_decay_lambda * dt.astype(MAPF))
     retention = atlas.weights[active_slots] * decay
+    # -inf (not inf after negation) keeps approx_max_k's reduction happy:
+    # invalid slots rank FIRST for eviction via a large finite bonus.
     retention = jnp.where(atlas.valid[active_slots], retention, -jnp.inf)
-    _, evict_slots = jax.lax.top_k(-retention, Kin)  # (A, Kin) lowest retention
+    evict_rank = jnp.where(jnp.isfinite(retention), -retention, 1e30)
+    _, evict_slots = _select_top(evict_rank, Kin, cfg)  # (A, Kin) lowest retention
 
     # Gather proposal payloads.
     w_new = (novelty * b.weights)[...]
@@ -818,7 +844,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     rgd_slab = atlas.rgb_denom[active_slots]
     ls_slab = atlas.last_supported[active_slots]
     score = jnp.where(v_slab, w_slab, -jnp.inf)
-    _, cand = jax.lax.top_k(score, V)  # (A, V)
+    _, cand = _select_top(score, V, cfg)  # (A, V)
 
     def per_tile(Lam_t, th_t, w_t, v_t, cand_slots):
         Lam = jnp.take(Lam_t, cand_slots, axis=0).astype(f64)

@@ -118,6 +118,24 @@ class PipelineConfig:
     # blocked top-k. The shortlist carries the shortlist_pruning certificate
     # trigger either way, and the final k_assoc downselect is exact.
     shortlist_recall: float = 0.95
+    # Budget-selection backend for the map update's per-tile top-k choices
+    # (view extraction by weight, merge candidates by weight, insert
+    # proposals by novelty score, eviction by lowest retention): recall in
+    # (0, 1) uses approx_max_k (PartialReduce) instead of the wide-axis sort
+    # lax.top_k lowers to on TPU — these four (7, 1536..2048) sorts were
+    # ~4 of the 36 sort ops in the compiled scan body. Every one of these
+    # selections is ALREADY a declared fixed-budget heuristic (which slots
+    # the view exposes / which near-dead slot gets evicted); the approx
+    # backend stays within that contract and raises the approx_selection
+    # trigger. 1.0 = exact (CPU default behavior is exact either way).
+    select_recall: float = 0.95
+    # Sinkhorn execution backend: "auto" runs the fused Pallas kernel on TPU
+    # (the whole fixed-K iteration in ONE dispatch — the XLA lowering is
+    # ~6 tiny serial ops per iteration x k_sinkhorn x GN rounds of pure
+    # launch latency; ops/sinkhorn_pallas.py) and the XLA loop elsewhere;
+    # "xla"/"pallas" force a backend (pallas off-TPU runs interpreted —
+    # tests use it for equivalence checks).
+    sinkhorn_backend: str = "auto"
     # Share surfel extraction + the distance shortlist across the K_HYP
     # vmapped hypotheses (computed once from hypothesis 0's deskew at its
     # predicted pose). The hypotheses differ only through bias/pose estimates
@@ -241,6 +259,7 @@ PARAM_RANGES = [
     ("k_shortlist", 0, 65536),
     ("shortlist_margin_m", 0.0, 100.0),
     ("shortlist_recall", 0.0, 1.0),
+    ("select_recall", 0.0, 1.0),
     ("surfel_voxel_size_m", 1e-3, 10.0),
     ("surfel_min_points_per_voxel", 1, 1024),
     ("map_evidence_scale", 0.0, 1e3),
@@ -255,6 +274,7 @@ PARAM_RANGES = [
 PARAM_ENUMS = [
     ("imu_mode", ("predict", "evidence")),
     ("odom_pose_mode", ("absolute", "relative")),
+    ("sinkhorn_backend", ("auto", "xla", "pallas")),
 ]
 
 

@@ -31,11 +31,57 @@ from gcslam_tpu.ops.certs import Cert, make_cert, TRIGGERS
 class AssociationResult(NamedTuple):
     responsibilities: jnp.ndarray  # (N, K)
     cand_pool: jnp.ndarray  # (N, K) int32 pool rows
+    cand_sl: jnp.ndarray  # (N, K) int32 rows into the shortlist (== cand_pool
+    # on the full-pool path); lets downstream evidence gather candidate
+    # attributes from the dense CandidateSet instead of re-gathering the pool
     row_masses: jnp.ndarray  # (N,)
     cost: jnp.ndarray  # (N, K)
     transport_mass: jnp.ndarray  # ()
     marginal_defect_a: jnp.ndarray  # ()
     ess_ot: jnp.ndarray  # ()
+
+
+class CandidateSet(NamedTuple):
+    """Pose-INVARIANT candidate attributes, gathered once per scan.
+
+    The GN anneal re-associates every round, but the shortlist indices — and
+    therefore every per-candidate attribute — are fixed across rounds; only
+    the measurement-side transport (pose) changes. Gathering (N, Ks) rows
+    from the (P,) pool inside the round body made the random-access gathers
+    the dominant per-round cost on TPU (segment timing r4: GN rounds ~4 ms
+    of a 10.9 ms scan). `pos/dirs/weights` keep the view dtype (f64-clean in
+    reference-precision mode); the cost-only channels are POINT_DTYPE."""
+
+    idx: jnp.ndarray  # (N, Ks) int32 pool rows
+    pos: jnp.ndarray  # (N, Ks, 3) world positions (view dtype)
+    dirs: jnp.ndarray  # (N, Ks, 3) directions (view dtype)
+    weights: jnp.ndarray  # (N, Ks) view weights (view dtype)
+    kap: jnp.ndarray  # (N, Ks) POINT_DTYPE
+    eta: jnp.ndarray  # (N, Ks, 3) kappa * direction, POINT_DTYPE
+    eta_sq: jnp.ndarray  # (N, Ks) sum(eta^2)
+    A_k2: jnp.ndarray  # (N, Ks) log_A_vmf(max(kap, 1e-12))
+    last_supported: jnp.ndarray  # (N, Ks) int32
+    valid: jnp.ndarray  # (N, Ks) bool
+
+
+def gather_candidates(view, idx: jnp.ndarray) -> CandidateSet:
+    """One-shot (N, Ks) gather of every round-invariant candidate attribute
+    (+ the cost terms derivable from them: eta, |eta|^2, A(kappa))."""
+    p32 = POINT_DTYPE
+    ckap = view.kappas[idx].astype(p32)
+    ceta = (view.kappas[:, None] * view.directions)[idx].astype(p32)
+    return CandidateSet(
+        idx=idx,
+        pos=view.positions[idx],
+        dirs=view.directions[idx],
+        weights=view.weights[idx],
+        kap=ckap,
+        eta=ceta,
+        eta_sq=jnp.sum(ceta**2, axis=-1),
+        A_k2=_log_A_vmf(jnp.maximum(ckap, 1e-12)),
+        last_supported=view.last_supported[idx],
+        valid=view.valid[idx],
+    )
 
 
 def _log_A_vmf(k: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -172,12 +218,12 @@ def associate_primitives_ot(
     # (novelty -> insertion). Reproduce it as an absolute distance cutoff at
     # the stencil reach (2 tiles).
     reach_sq = (2.0 * cfg.h_tile * (cfg.r_stencil_xy + 0.5)) ** 2
-    dt_pool = jnp.maximum(
-        0, scan_seq.astype(jnp.int32) - view.last_supported
-    ).astype(p32)
     recency_w = cfg.ot_epsilon * cfg.recency_decay_lambda
 
     if shortlist is None:
+        dt_pool = jnp.maximum(
+            0, scan_seq.astype(jnp.int32) - view.last_supported
+        ).astype(p32)
         # --- full-pool cost tile (f32 for the big part) -------------------
         vp = view.positions.astype(p32)
         d_pos = (
@@ -211,37 +257,43 @@ def associate_primitives_ot(
         neg_top, cand = _topk_blocked(-cost_pool, K)  # (N, K)
         cost = (-neg_top).astype(f)
         cand = cand.astype(jnp.int32)
+        cand_sl = cand  # full-pool path: shortlist rows ARE pool rows
         cand_valid = jnp.take_along_axis(pool_ok, cand, axis=1)
     else:
-        # --- shortlisted cost tile (N, Ks): same math, per-row gathers -----
-        sl = shortlist  # (N, Ks) pool rows
-        cpos = view.positions[sl].astype(p32)  # (N, Ks, 3)
+        # --- shortlisted cost tile (N, Ks): same math, NO in-round gathers —
+        # every candidate attribute was gathered once per scan into the
+        # CandidateSet (gather_candidates); the round only recomputes the
+        # pose-dependent terms (distance, eta cross term, recency dt).
+        cs = shortlist  # CandidateSet
+        sl = cs.idx  # (N, Ks) pool rows
+        cpos = cs.pos.astype(p32)  # (N, Ks, 3)
         diff = mp[:, None, :] - cpos
         d_pos = jnp.sum(diff * diff, axis=-1)  # (N, Ks)
-        ceta = (view.kappas[:, None] * view.directions)[sl].astype(p32)  # (N, Ks, 3)
-        ckap = view.kappas[sl].astype(p32)
         km = 0.5 * jnp.sqrt(
             jnp.maximum(
                 jnp.sum(meas_eta**2, axis=1)[:, None]
-                + jnp.sum(ceta**2, axis=-1)
-                + 2.0 * jnp.einsum("ni,nki->nk", meas_eta, ceta),
+                + cs.eta_sq
+                + 2.0 * jnp.einsum("ni,nki->nk", meas_eta, cs.eta),
                 1e-24,
             )
         )
         A_km = _log_A_vmf(km)
         A_k1 = _log_A_vmf(jnp.maximum(meas_kap.astype(p32), 1e-12))[:, None]
-        A_k2 = _log_A_vmf(jnp.maximum(ckap, 1e-12))
-        bc = jnp.exp(A_km - 0.5 * (A_k1 + A_k2))
+        bc = jnp.exp(A_km - 0.5 * (A_k1 + cs.A_k2))
         d_dir = jnp.maximum(0.0, 1.0 - bc)
-        dir_on = ((meas_kap[:, None] > 0) & (ckap > 0)).astype(p32)
+        dir_on = ((meas_kap[:, None] > 0) & (cs.kap > 0)).astype(p32)
         cost_sl = d_pos + cfg.ot_cost_beta * d_dir * dir_on
-        cost_sl = cost_sl + recency_w * dt_pool[sl]
-        sl_ok = view.valid[sl] & batch.valid[:, None] & (d_pos < reach_sq)
+        dt_sl = jnp.maximum(
+            0, scan_seq.astype(jnp.int32) - cs.last_supported
+        ).astype(p32)
+        cost_sl = cost_sl + recency_w * dt_sl
+        sl_ok = cs.valid & batch.valid[:, None] & (d_pos < reach_sq)
         cost_sl = jnp.where(sl_ok, cost_sl, 1e12)
 
         neg_top, ci = jax.lax.top_k(-cost_sl, K)  # within the shortlist
         cost = (-neg_top).astype(f)
         cand = jnp.take_along_axis(sl, ci, axis=1).astype(jnp.int32)
+        cand_sl = ci.astype(jnp.int32)
         cand_valid = jnp.take_along_axis(sl_ok, ci, axis=1)
 
     # Optional row-min subtraction (reference cost normalization,
@@ -260,7 +312,24 @@ def associate_primitives_ot(
     a = valid_f / sum_a
     b = jnp.full((K,), 1.0 / K, dtype=f)
 
-    pi = _sinkhorn_unbalanced(cost_n, a, b, cfg.ot_epsilon, cfg.ot_tau_a, cfg.ot_tau_b, cfg.k_sinkhorn)
+    backend = getattr(cfg, "sinkhorn_backend", "xla")
+    if backend == "auto":
+        try:
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        except Exception:
+            backend = "xla"
+    if backend == "pallas":
+        from gcslam_tpu.ops.sinkhorn_pallas import sinkhorn_unbalanced_pallas
+
+        interpret = jax.devices()[0].platform != "tpu"
+        pi = sinkhorn_unbalanced_pallas(
+            cost_n, a, b, cfg.ot_epsilon, cfg.ot_tau_a, cfg.ot_tau_b,
+            cfg.k_sinkhorn, interpret=interpret,
+        )
+    else:
+        pi = _sinkhorn_unbalanced(
+            cost_n, a, b, cfg.ot_epsilon, cfg.ot_tau_a, cfg.ot_tau_b, cfg.k_sinkhorn
+        )
     pi = pi * cand_valid.astype(f)
     row_masses = jnp.sum(pi, axis=1)
 
@@ -271,6 +340,7 @@ def associate_primitives_ot(
     result = AssociationResult(
         responsibilities=pi,
         cand_pool=cand,
+        cand_sl=cand_sl,
         row_masses=row_masses,
         cost=cost_n,
         transport_mass=transport_mass,

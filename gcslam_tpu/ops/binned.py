@@ -55,9 +55,14 @@ def scatter_accumulate(
     method = method or _resolved_method()
     N, D = payload.shape
     if method == "scatter":
+        # mode="drop" only drops POSITIVE out-of-range targets; a negative
+        # index WRAPS (adds into bin idx + n_bins). Route negatives to the
+        # positive OOB sentinel so they really drop, per the docstring
+        # contract (same wrap bug class as the old atlas _insert sentinel).
+        idx_safe = jnp.where(idx >= 0, idx, jnp.int32(n_bins))
         return (
             jnp.zeros((n_bins, D), dtype=payload.dtype)
-            .at[idx].add(payload, mode="drop")
+            .at[idx_safe].add(payload, mode="drop")
         )
     if method != "sort":
         raise ValueError(f"unknown scatter method {method!r}")

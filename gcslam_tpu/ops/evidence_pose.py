@@ -42,6 +42,7 @@ def primitive_pose_evidence(
     view,  # AtlasView
     z_lin_pose: jnp.ndarray,  # (6,) world pose linearization point
     cfg,
+    cands=None,  # association.CandidateSet: gather-free candidate attrs
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Cert]:
     f = BELIEF_DTYPE
     t0 = z_lin_pose[:3]
@@ -76,7 +77,28 @@ def primitive_pose_evidence(
     cap3 = 3.0 / (cfg.pose_sigma_floor_m**2)
     Lam_b = Lam_b * jnp.minimum(1.0, cap3 / (tr + cfg.eps_mass))[:, None, None]
 
-    pi = assoc.responsibilities * (batch.valid[:, None] & view.valid[assoc.cand_pool]).astype(f)
+    # Candidate attributes: dense take_along_axis over the CandidateSet when
+    # the shortlist ran (no per-round HBM gathers from the pool — the
+    # gathers, not the math, dominated the GN round cost on TPU), else the
+    # original pool gathers.
+    if cands is not None:
+        ci = assoc.cand_sl
+        tk = lambda x: jnp.take_along_axis(
+            x, ci.reshape(ci.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+        cand_view_valid = tk(cands.valid)
+        map_pos_g = tk(cands.pos)
+        map_dir_g = tk(cands.dirs)
+        map_kap_g = tk(cands.kap)
+        map_w_g = tk(cands.weights)
+    else:
+        cand_view_valid = view.valid[assoc.cand_pool]
+        map_pos_g = view.positions[assoc.cand_pool]
+        map_dir_g = view.directions[assoc.cand_pool]
+        map_kap_g = view.kappas[assoc.cand_pool]
+        map_w_g = view.weights[assoc.cand_pool]
+
+    pi = assoc.responsibilities * (batch.valid[:, None] & cand_view_valid).astype(f)
     # Point-support scaling: OT responsibilities are transport PROBABILITIES
     # on uniform marginals a_i = 1/N_valid (total mass ~1), so summing
     # pi * Lambda treats an entire scan as ONE pseudo-measurement — the map
@@ -87,9 +109,9 @@ def primitive_pose_evidence(
     # recovers point-count-consistent ICP Laplace information.
     n_valid = jnp.sum(batch.valid.astype(f))
     pi = pi * n_valid * batch.weights[:, None]
-    map_pos = view.positions[assoc.cand_pool]  # (N, K, 3) world
-    map_dir = view.directions[assoc.cand_pool]
-    map_kap = view.kappas[assoc.cand_pool]
+    map_pos = map_pos_g  # (N, K, 3) world
+    map_dir = map_dir_g
+    map_kap = map_kap_g
 
     # Continuous Cauchy robustification of pair residuals (no gates): soft
     # OT leaves a few % of mass on wrong candidates whose meter-scale
@@ -110,7 +132,7 @@ def primitive_pose_evidence(
     # ~novelty*w ~ 1e-2) carries almost no alignment authority; a repeatedly
     # fused one (mass >> 1) carries full weight. Prevents the sparse early
     # map from yanking the pose before it has converged.
-    w_mature = view.weights[assoc.cand_pool] / (view.weights[assoc.cand_pool] + 1.0)
+    w_mature = map_w_g / (map_w_g + 1.0)
     pi = pi * w_robust * w_mature
 
     # ---- full 6x6 pose Laplace in the chart tangent ------------------------

@@ -186,7 +186,16 @@ def eigh_3x3(M: jnp.ndarray, n_sweeps: int = 6) -> Tuple[jnp.ndarray, jnp.ndarra
     # while-loop boundary is a measurable fraction of each sweep.
     A, V = jax.lax.fori_loop(0, n_sweeps, sweep, (A, V), unroll=3)
     lam = jnp.diagonal(A, axis1=-2, axis2=-1) * scale_safe[..., 0]
-    order = jnp.argsort(lam, axis=-1)
+    # Rank-based 3-element ordering: argsort over a width-3 axis still
+    # lowers to a sort HLO (a real dispatch at every eigh_3x3 call site);
+    # the comparison-count rank fuses into the surrounding elementwise
+    # kernel. Tie-break by index matches argsort's stable order.
+    i3 = jnp.arange(3)
+    less = (lam[..., None, :] < lam[..., :, None]) | (
+        (lam[..., None, :] == lam[..., :, None]) & (i3[None, :] < i3[:, None])
+    )
+    rank = jnp.sum(less, axis=-1)  # (..., 3) rank of element i
+    order = jnp.argmax(rank[..., None, :] == i3[:, None], axis=-1)
     lam_sorted = jnp.take_along_axis(lam, order, axis=-1)
     V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
     return lam_sorted, V_sorted

@@ -122,10 +122,22 @@ def extract_surfels(
     # lidar_surfel_extraction.py:809-816).
     cell_ids = jnp.arange(N_CELLS, dtype=jnp.int32)
     cell_valid = (count >= float(min_points)) & (m0 > 0)
-    key = cell_ids + (1 - cell_valid.astype(jnp.int32)) * N_CELLS
-    order = jnp.argsort(key)
-    take = order[:n_surfel]
-    slot_valid = cell_valid[take]
+    # Rank-compaction instead of an 8192-wide argsort (one of the wide sort
+    # ops in the compiled scan body): the sort's key ordered valid cells
+    # first by cell id — identical to scattering each valid cell at its
+    # cumsum rank. Rows past n_valid gather cell 0's moments; every output
+    # channel is masked by slot_valid, so the padding content is irrelevant
+    # (and deterministic).
+    rank = jnp.cumsum(cell_valid.astype(jnp.int32)) - 1  # (N_CELLS,)
+    tgt = jnp.where(cell_valid & (rank < n_surfel), rank, n_surfel)
+    take = (
+        jnp.zeros((n_surfel + 1,), dtype=jnp.int32)
+        .at[tgt].set(cell_ids, mode="drop")[:n_surfel]
+    )
+    slot_valid = (
+        jnp.zeros((n_surfel + 1,), dtype=bool)
+        .at[tgt].set(cell_valid, mode="drop")[:n_surfel]
+    )
     n_valid = jnp.sum(slot_valid.astype(jnp.int32))
 
     # Gather selected-cell moments, promote to f64 for the tiny dense algebra.

@@ -45,6 +45,9 @@ VARIANTS = {
     "no_share": {"map_share_extraction": False, "map_gn_shared": False},
     "per_hyp_gn": {"map_gn_shared": False},
     "camera_on": {"with_camera": True},
+    "insert_1": {"k_insert_tile": 1},
+    "view_512": {"m_tile_view": 512},
+    "gn_3rounds": {"map_icp_iters": 3},
 }
 
 

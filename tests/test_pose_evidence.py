@@ -119,8 +119,9 @@ def test_shortlist_matches_full_pool():
     R0 = jnp.asarray(se3.so3_exp(z_lin[3:6]))
     from gcslam_tpu.models.batch import mean_positions
     mpos_w = mean_positions(mb, cfg.eps_lift) @ R0.T + z_lin[None, :3]
-    sl = AS.shortlist_candidates(mpos_w, mb.valid, view, cfg)
-    assert sl.shape == (mb.valid.shape[0], cfg.k_shortlist)
+    sl_idx = AS.shortlist_candidates(mpos_w, mb.valid, view, cfg)
+    assert sl_idx.shape == (mb.valid.shape[0], cfg.k_shortlist)
+    sl = AS.gather_candidates(view, sl_idx)
     pruned, cert = AS.associate_primitives_ot(mb, view, seq, cfg, z_lin,
                                               shortlist=sl)
     # valid rows: identical candidate sets and responsibilities
