@@ -129,7 +129,10 @@ def audit_run(out_dir: str) -> Dict:
     try:
         sp = np.load(f"{out_dir}/splat_export.npz")
         check("splats_finite", all(np.all(np.isfinite(sp[k])) for k in ("mu_world", "Sigma_world")))
-        eig = np.linalg.eigvalsh(sp["Sigma_world"]) if sp["Sigma_world"].size else np.zeros((1, 3))
+        # a non-finite covariance must FAIL the check above, not crash the
+        # auditor (LAPACK refuses to converge on NaN rows) — scrub first
+        Sig = np.nan_to_num(sp["Sigma_world"], nan=0.0, posinf=0.0, neginf=0.0)
+        eig = np.linalg.eigvalsh(Sig) if Sig.size else np.zeros((1, 3))
         check("splats_psd", np.all(eig > -1e-9), f"min eig {eig.min():.2e}" if eig.size else "")
         check("splats_mass_nonneg", np.all(sp["masses"] >= 0))
     except OSError:

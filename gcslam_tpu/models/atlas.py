@@ -781,12 +781,28 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     return atlas, insert_mass, evicted_mass, events
 
 
+# Precision floor below which a primitive is informationless: repeated
+# recency decay drives stale primitives' Lambda toward f32 underflow
+# (observed ~1e-24 after ~100 unsupported scans), where the export-side
+# solve for mu overflows and the primitive is pure ghost mass. Such rows
+# are culled like zero-weight rows.
+LAMBDA_CULL_FLOOR = 1e-12
+
+
 def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
-    """Cull below-threshold weights + continuous forgetting, active tiles only
-    (reference primitive_map.py:1157-1386)."""
+    """Cull below-threshold weights + precision-collapsed primitives +
+    continuous forgetting, active tiles only (reference
+    primitive_map.py:1157-1386; the Lambda floor is an addition — the
+    reference's unbounded dict atlas never decays precision to underflow)."""
     w_act = atlas.weights[active_slots]
     v_act = atlas.valid[active_slots]
-    below = v_act & (w_act < cfg.cull_weight_threshold)
+    lam_max = jnp.max(
+        jnp.abs(jnp.diagonal(atlas.Lambdas[active_slots], axis1=-2, axis2=-1)),
+        axis=-1,
+    )  # (S, M)
+    below = v_act & (
+        (w_act < cfg.cull_weight_threshold) | (lam_max < LAMBDA_CULL_FLOOR)
+    )
     mass_dropped = jnp.sum(w_act * below.astype(MAPF))
     n_culled = jnp.sum(below.astype(jnp.int32))
     valid = atlas.valid.at[active_slots].set(v_act & ~below)

@@ -763,8 +763,19 @@ def scan_step(
             )
             map_fn = lambda *args: gn_out
         else:
+            # Per-hypothesis GN runs INSIDE the K_HYP vmap, where the Pallas
+            # Sinkhorn kernel crashed the TPU compiler (HTTP 500 from the
+            # remote compile helper, r4); the math-identical XLA loop is
+            # forced for this path. The flagship shared-GN path keeps the
+            # fused kernel.
+            import dataclasses as _dc
+
+            cfg_hyp = (
+                _dc.replace(cfg, sinkhorn_backend="xla")
+                if cfg.sinkhorn_backend in ("auto", "pallas") else cfg
+            )
             map_fn = atlas_mod.make_map_evidence_fn(
-                view, cfg, sensor_var=sensor_var, shared=shared
+                view, cfg_hyp, sensor_var=sensor_var, shared=shared
             )
     else:
         map_fn = _zero_map_evidence

@@ -13,6 +13,12 @@ def atlas_to_splats(atlas) -> dict:
     positions/covariances/precisions/etas/kappas/colors/masses/ids/tile_ids."""
     valid = np.asarray(atlas.valid)  # (T, M)
     T, M = valid.shape
+    # Precision-collapsed primitives (Lambda decayed to ~underflow in tiles
+    # that left the active stencil before the cull could run) carry no
+    # information and their solved mu overflows — exclude them, mirroring
+    # the in-graph LAMBDA_CULL_FLOOR (models/atlas._cull_forget).
+    lam_diag = np.abs(np.diagonal(np.asarray(atlas.Lambdas), axis1=-2, axis2=-1))
+    valid = valid & (lam_diag.max(axis=-1) > 1e-12)
     idx = np.argwhere(valid)
     ti, si = idx[:, 0], idx[:, 1]
 

@@ -43,7 +43,7 @@ VARIANTS = {
     "shortlist_16": {"k_shortlist": 16},
     "exact_shortlist": {"shortlist_recall": 1.0},
     "no_share": {"map_share_extraction": False, "map_gn_shared": False},
-    "per_hyp_gn": {"map_gn_shared": False},
+    "per_hyp_gn": {"map_gn_shared": False},  # scan_step forces xla sinkhorn under vmap
     "camera_on": {"with_camera": True},
     "insert_1": {"k_insert_tile": 1},
     "view_512": {"m_tile_view": 512},
