@@ -223,6 +223,11 @@ class AtlasView(NamedTuple):
     last_supported: jnp.ndarray  # (P,) int32
     tile_slot: jnp.ndarray  # (P,) int32 (atlas tile-table slot)
     slot: jnp.ndarray  # (P,) int32 (slot within tile)
+    # LiDAR mass fraction of the slot (1 = pure surfel). Camera-dominant
+    # slots carry viewing-ray directions, which are viewpoint-dependent and
+    # must not vote in the rotation scatter (ops/evidence_pose.py). None on
+    # hand-built views = treat as all-LiDAR.
+    lidar_frac: jnp.ndarray = None  # (P,)
 
 
 def extract_view(
@@ -249,6 +254,8 @@ def extract_view(
     vv = jnp.take_along_axis(valid, top_slots, axis=1)
     pv = jnp.take_along_axis(pid, top_slots, axis=1)
     ls = jnp.take_along_axis(atlas.last_supported[tile_slots], top_slots, axis=1)
+    cm = jnp.take_along_axis(atlas.cam_mass[tile_slots], top_slots, axis=1)
+    lm = jnp.take_along_axis(atlas.lidar_mass[tile_slots], top_slots, axis=1)
 
     f64 = BELIEF_DTYPE
     Lam64 = Lam.reshape(-1, 3, 3).astype(f64) + C.EPS_LIFT * jnp.eye(3, dtype=f64)
@@ -267,6 +274,7 @@ def extract_view(
         last_supported=ls.reshape(-1),
         tile_slot=jnp.repeat(tile_slots, V),
         slot=top_slots.reshape(-1),
+        lidar_frac=(lm / (cm + lm + C.EPS_MASS)).reshape(-1).astype(f64),
     )
 
 

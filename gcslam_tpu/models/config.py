@@ -184,6 +184,36 @@ class PipelineConfig:
 
     # Camera
     with_camera: bool = False
+    # Keep only world-fixed directions (surfel normals, sources==1) in the
+    # Matrix-Fisher rotation scatter and the normal-consistency weight.
+    # Camera splats' vMF lobe is the VIEWING RAY — viewpoint-dependent, so
+    # matching the map's stored ray against the current ray reads
+    # translation parallax as body rotation (measured 30x ATE-rot blowup
+    # with camera on, BENCH_r04). Camera splats still contribute rotation
+    # information through the lever-arm coupling of the 6x6 pose Laplace,
+    # which models the translation-rotation geometry exactly.
+    pose_rot_scatter_surfels_only: bool = True
+    # Scale on camera-splat rows' responsibilities in the pose factor
+    # (surfel rows unaffected; map maintenance/rendering unaffected).
+    # Harris corners sit preferentially on depth discontinuities, where the
+    # local plane fit mixes foreground/background depths — a biased, hard-
+    # to-model error that full-3D-precision rows amplify through the
+    # lever-arm coupling. 0 = camera is mapped + rendered but never votes
+    # on the pose.
+    pose_camera_weight: float = 1.0
+    # Modality weighting of pose-factor pairs (map fusion stays
+    # cross-modal). Measured on the synthetic camera world (round 5):
+    #   - "cam_to_lidar" (default): camera rows vote only against
+    #     lidar-dominant slots. Camera-to-camera-splat matching is the
+    #     measured poison — repeated texture corners alias under OT at
+    #     0.5 m spacing, and fused splat positions carry absorbed pose
+    #     error, a self-reinforcing loop (ATE rot 0.95 deg -> 0.39 = the
+    #     no-camera control).
+    #   - "matched": modality-consistent pairs only (cam<->cam,
+    #     lidar<->lidar). Measured 8x WORSE (7.8 deg) — kept as the
+    #     documented negative ablation.
+    pose_modality_matched: bool = True
+    pose_modality_mode: str = "cam_to_lidar"
 
     # Hypothesis diversification: run K_HYP distinct evidence-trust profiles
     # (constants.HYP_BETA_SCALE / HYP_MAP_EVIDENCE_SCALE) with per-scan
@@ -269,12 +299,14 @@ PARAM_RANGES = [
     ("pose_cauchy_r0_m", 1e-4, 10.0),
     ("pose_scan_sigma_floor_m", 1e-6, 1.0),
     ("pose_scan_sigma_floor_rad", 1e-6, 1.0),
+    ("pose_camera_weight", 0.0, 1e3),
 ]
 
 PARAM_ENUMS = [
     ("imu_mode", ("predict", "evidence")),
     ("odom_pose_mode", ("absolute", "relative")),
     ("sinkhorn_backend", ("auto", "xla", "pallas")),
+    ("pose_modality_mode", ("cam_to_lidar", "matched")),
 ]
 
 

@@ -62,6 +62,9 @@ class CandidateSet(NamedTuple):
     A_k2: jnp.ndarray  # (N, Ks) log_A_vmf(max(kap, 1e-12))
     last_supported: jnp.ndarray  # (N, Ks) int32
     valid: jnp.ndarray  # (N, Ks) bool
+    # LiDAR mass fraction of the candidate slot (AtlasView.lidar_frac);
+    # None when the view carries none = treat as all-LiDAR.
+    lidar_frac: jnp.ndarray = None  # (N, Ks)
 
 
 def gather_candidates(view, idx: jnp.ndarray) -> CandidateSet:
@@ -81,6 +84,7 @@ def gather_candidates(view, idx: jnp.ndarray) -> CandidateSet:
         A_k2=_log_A_vmf(jnp.maximum(ckap, 1e-12)),
         last_supported=view.last_supported[idx],
         valid=view.valid[idx],
+        lidar_frac=None if view.lidar_frac is None else view.lidar_frac[idx],
     )
 
 

@@ -91,12 +91,15 @@ def primitive_pose_evidence(
         map_dir_g = tk(cands.dirs)
         map_kap_g = tk(cands.kap)
         map_w_g = tk(cands.weights)
+        map_lfrac_g = None if cands.lidar_frac is None else tk(cands.lidar_frac)
     else:
         cand_view_valid = view.valid[assoc.cand_pool]
         map_pos_g = view.positions[assoc.cand_pool]
         map_dir_g = view.directions[assoc.cand_pool]
         map_kap_g = view.kappas[assoc.cand_pool]
         map_w_g = view.weights[assoc.cand_pool]
+        map_lfrac_g = (None if view.lidar_frac is None
+                       else view.lidar_frac[assoc.cand_pool])
 
     pi = assoc.responsibilities * (batch.valid[:, None] & cand_view_valid).astype(f)
     # Point-support scaling: OT responsibilities are transport PROBABILITIES
@@ -109,6 +112,9 @@ def primitive_pose_evidence(
     # recovers point-count-consistent ICP Laplace information.
     n_valid = jnp.sum(batch.valid.astype(f))
     pi = pi * n_valid * batch.weights[:, None]
+    cam_w = getattr(cfg, "pose_camera_weight", 1.0)
+    if cam_w != 1.0:
+        pi = pi * jnp.where(batch.sources == 1, 1.0, cam_w)[:, None].astype(f)
     map_pos = map_pos_g  # (N, K, 3) world
     map_dir = map_dir_g
     map_kap = map_kap_g
@@ -126,7 +132,15 @@ def primitive_pose_evidence(
     # still large) point-to-plane precision enters the pose factor.
     meas_dir_w = meas_dir @ R0.T
     n_dot = jnp.einsum("ni,nki->nk", meas_dir_w, map_dir)
-    w_normal = jnp.where(meas_kap[:, None] > 0, n_dot * n_dot, 1.0)
+    # World-fixed-direction mask: surfel normals are properties of the
+    # scene; camera splats' lobes are viewing rays (viewpoint-dependent),
+    # so ray disagreement after the robot moved is parallax, not a wrong
+    # match — and in the rotation scatter it reads as rotation error.
+    if getattr(cfg, "pose_rot_scatter_surfels_only", True):
+        dir_fixed = (batch.sources == 1)[:, None]
+    else:
+        dir_fixed = jnp.ones_like(n_dot, dtype=bool)
+    w_normal = jnp.where((meas_kap[:, None] > 0) & dir_fixed, n_dot * n_dot, 1.0)
     w_robust = w_robust * w_normal
     # Map-maturity weighting (continuous): a freshly-seeded primitive (mass
     # ~novelty*w ~ 1e-2) carries almost no alignment authority; a repeatedly
@@ -134,6 +148,23 @@ def primitive_pose_evidence(
     # map from yanking the pose before it has converged.
     w_mature = map_w_g / (map_w_g + 1.0)
     pi = pi * w_robust * w_mature
+    if getattr(cfg, "pose_modality_matched", True) and map_lfrac_g is not None:
+        # Modality-matched pairs only: a camera corner matched to a
+        # lidar-dominant slot compares a POINT against a plane-patch
+        # CENTROID — the in-plane component of the residual is sampling
+        # artifact, and camera rows carry full 3D precision that turns it
+        # into a spurious pose pull (the aperture problem that
+        # pose_point_to_plane already fixes for surfel rows). Camera rows
+        # keep camera-dominant candidates (corner-to-corner, exact);
+        # surfel rows keep lidar-dominant candidates. Map fusion is
+        # unaffected (cross-modal depth PoE still happens in the atlas).
+        lf = map_lfrac_g.astype(f)
+        mode = getattr(cfg, "pose_modality_mode", "cam_to_lidar")
+        if mode == "matched":
+            w_mod = jnp.where((batch.sources == 1)[:, None], lf, 1.0 - lf)
+        else:  # camera rows vote only against lidar-backed geometry
+            w_mod = jnp.where((batch.sources == 1)[:, None], 1.0, lf)
+        pi = pi * w_mod
 
     # ---- full 6x6 pose Laplace in the chart tangent ------------------------
     # r_tan(drho, dtheta) = R0^T (m_k - R0 Exp(dtheta)(p_i) - t0 - R0 V drho)
@@ -172,6 +203,10 @@ def primitive_pose_evidence(
 
     # ---- rotation: Matrix-Fisher Laplace at the scatter mode ---------------
     kw = jnp.sqrt(meas_kap[:, None] * map_kap + 1e-12) * pi  # (N, K)
+    kw = kw * dir_fixed.astype(f)  # viewing-ray rows carry no rotation vote
+    if getattr(cfg, "pose_rot_scatter_surfels_only", True) and map_lfrac_g is not None:
+        # ... and camera-dominant MAP slots (stale stored rays) don't either
+        kw = kw * map_lfrac_g.astype(f)
     S = jnp.einsum("nk,nki,nj->ij", kw, map_dir, meas_dir)  # world x body scatter
     R_star, D, V = linalg.rotation_from_scatter(S)  # eigh-based (f64 on TPU)
     # Laplace information of tr(S^T R) at R = R_star Exp(dtheta):
