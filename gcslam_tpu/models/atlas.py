@@ -703,7 +703,9 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     # 15 narrow scatter-sets sharing this index set — XLA TPU serializes
     # scatters over update rows, so cost scales with scatter COUNT x rows.
     # Valid `flat` targets are unique (per-tile evict slots are distinct,
-    # tiles disjoint); invalid rows are -1 -> dropped. int32 channels ride
+    # tiles disjoint); invalid rows target A*M — POSITIVE out-of-bounds,
+    # really dropped (a -1 sentinel wraps to the last slot even under
+    # mode="drop"; see the `flat` construction above). int32 channels ride
     # the f64 payload (exact for |v| < 2^53); the mask selects written rows.
     NB = C.VMF_N_LOBES * 3
     pay32 = jnp.concatenate(
@@ -866,6 +868,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     lid_slab = atlas.lidar_mass[active_slots]
     rga_slab = atlas.rgb_accum[active_slots]
     rgd_slab = atlas.rgb_denom[active_slots]
+    rgb_slab = atlas.rgb[active_slots]
     ls_slab = atlas.last_supported[active_slots]
     score = jnp.where(v_slab, w_slab, -jnp.inf)
     _, cand = _select_top(score, V, cfg)  # (A, V)
@@ -1016,6 +1019,26 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
         ),
         rgb_accum=atlas.rgb_accum.at[a].set(supd(rga_slab, fi, rga_i + rga_j)),
         rgb_denom=atlas.rgb_denom.at[a].set(supd(rgd_slab, fi, rgd_i + rgd_j)),
+        # Refresh the canonical color for winner rows NOW: the old full-atlas
+        # rgb recompute in _fuse healed merged colors the next scan, but the
+        # slab refactor only touches active tiles — a tile merged on its last
+        # active scan would export a stale pre-merge color (ADVICE r4).
+        rgb=atlas.rgb.at[a].set(
+            supd(
+                rgb_slab,
+                fi,
+                jnp.where(
+                    ((cam_i + cam_j) > 0)[..., None],
+                    jnp.clip(
+                        (rga_i + rga_j)
+                        / jnp.maximum((rgd_i + rgd_j)[..., None], C.EPS_MASS),
+                        0.0,
+                        1.0,
+                    ),
+                    0.5,
+                ),
+            )
+        ),
         last_supported=atlas.last_supported.at[a].set(
             supd(ls_slab, fi, jnp.maximum(ls_i, ls_j))
         ),

@@ -322,6 +322,12 @@ def associate_primitives_ot(
             backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         except Exception:
             backend = "xla"
+        # The Pallas kernel computes in f32 (VMEM tiles); under the
+        # reference-parity f64 belief dtype that would silently downgrade
+        # Sinkhorn precision (ADVICE r4) — keep the XLA loop, which runs
+        # in the input dtype.
+        if jnp.dtype(cost_n.dtype) == jnp.dtype(jnp.float64):
+            backend = "xla"
     if backend == "pallas":
         from gcslam_tpu.ops.sinkhorn_pallas import sinkhorn_unbalanced_pallas
 

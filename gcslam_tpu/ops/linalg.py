@@ -190,6 +190,11 @@ def eigh_3x3(M: jnp.ndarray, n_sweeps: int = 6) -> Tuple[jnp.ndarray, jnp.ndarra
     # lowers to a sort HLO (a real dispatch at every eigh_3x3 call site);
     # the comparison-count rank fuses into the surrounding elementwise
     # kernel. Tie-break by index matches argsort's stable order.
+    # NaN caveat (ADVICE r4): every NaN eigenvalue compares false, gets
+    # rank 0, and `order` then duplicates indices — unlike argsort, which
+    # places NaNs last. Acceptable: NaN eigenvalues mean the input matrix
+    # was already poisoned, and the certificate layer (non-finite triggers)
+    # quarantines the scan before ordering details matter.
     i3 = jnp.arange(3)
     less = (lam[..., None, :] < lam[..., :, None]) | (
         (lam[..., None, :] == lam[..., :, None]) & (i3[None, :] < i3[:, None])
