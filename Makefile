@@ -20,6 +20,13 @@ eval:
 bench:
 	python bench.py
 
+# GATED canonical-path rehearsal on the synthesized Kimera bag: synthesizes
+# the bag, drives the FULL frontend (CDR decode, time alignment, camera
+# pairing, anchor) + pipeline, gates ATE, and attributes per-frontend-stage
+# deltas. Exit != 0 on gate failure (VERDICT r4 #3).
+rehearse:
+	python -m gcslam_tpu.tools.rehearse --json REHEARSAL_r05.json
+
 native:
 	$(MAKE) -C native
 

@@ -19,16 +19,26 @@ D_DESKEW = 22
 
 # ---------------------------------------------------------------------------
 # Fixed-cost budgets (compile-time constants; reference constants.py:62-67)
+#
+# GCSLAM_K_HYP / GCSLAM_K_SINKHORN env overrides are the SANCTIONED rebuild
+# path for measurement tools only (tools/attribute_step spawns subprocesses
+# with them, exactly as tools/precision_compare does for the dtype) — the
+# production fail-fast still binds config values to whatever this module
+# compiled with, so a mismatched config cannot start (VERDICT r4 #8).
 # ---------------------------------------------------------------------------
-K_HYP = 4
-HYP_WEIGHT_FLOOR = 0.0025  # 0.01 / K_HYP
+import os as _os
+
+K_HYP = int(_os.environ.get("GCSLAM_K_HYP", "4"))
+if not 1 <= K_HYP <= 4:
+    raise ValueError(f"GCSLAM_K_HYP must be in [1, 4], got {K_HYP}")
+HYP_WEIGHT_FLOOR = 0.01 / K_HYP  # 0.0025 at the production K_HYP=4
 # Hypothesis diversification (TPU-first redesign of the reference's K_HYP=4
 # bit-identical copies, backend_node.py:823): each hypothesis runs a distinct
 # evidence-trust profile — (power-beta scale, map-evidence scale) — and the
 # weights update every scan from the evidence fit, so the barycenter favors
 # whichever trust setting the data currently supports.
-HYP_BETA_SCALE = (1.0, 0.7, 1.0, 0.7)
-HYP_MAP_EVIDENCE_SCALE = (1.0, 1.0, 0.6, 0.6)
+HYP_BETA_SCALE = (1.0, 0.7, 1.0, 0.7)[:K_HYP]
+HYP_MAP_EVIDENCE_SCALE = (1.0, 1.0, 0.6, 0.6)[:K_HYP]
 HYP_WEIGHT_LL_GAIN = 0.1  # per-scan weight-update temperature on nll_per_ess
 N_POINTS_CAP = 8192
 MAX_IMU_PREINT_LEN = 512
@@ -142,7 +152,8 @@ ODOM_TWIST_WZ_SIGMA = 0.01
 N_FEAT = 512
 N_SURFEL = 1024
 K_ASSOC = 8
-K_SINKHORN = 50
+# GCSLAM_K_SINKHORN: sanctioned measurement-tool override (see K_HYP note).
+K_SINKHORN = int(_os.environ.get("GCSLAM_K_SINKHORN", "50"))
 RINGBUF_LEN = 5
 
 OT_EPSILON = 0.02  # sharper than the reference's 0.1: ~0.15 m association scale

@@ -55,6 +55,16 @@ def main(argv=None) -> dict:
     p.add_argument("--map-stream", type=int, default=0, metavar="N",
                    help="export incremental map snapshots every N scans "
                         "(streaming mode; the /gc/map live-view analog)")
+    p.add_argument("--no-camera", dest="camera", action="store_false",
+                   default=None,
+                   help="force the camera path OFF (overrides the config; "
+                        "rehearsal attribution, VERDICT r4 #3)")
+    p.add_argument("--frontend-set", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="override a BagConfig field for bag runs (repeatable; "
+                        "JSON values, 'none' -> None). e.g. "
+                        "--frontend-set anchor_smoothing_k=1 "
+                        "--frontend-set alignment=none")
     p.add_argument("--camera", action="store_true", default=None,
                    help="RGB-D camera + visual frontend (default: config file else off)")
     p.add_argument("--trajectory", default="ramp", choices=["ramp", "circuit"],
@@ -169,6 +179,16 @@ def main(argv=None) -> dict:
                 "extrinsics silently corrupt every evidence factor.",
                 file=sys.stderr,
             )
+        if args.camera is not None:
+            bag_cfg = dataclasses.replace(bag_cfg, with_camera=args.camera)
+        for kv in args.frontend_set:
+            key, _, val = kv.partition("=")
+            if not _:
+                raise SystemExit(f"--frontend-set expects KEY=VAL, got {kv!r}")
+            import json as _json
+
+            parsed = None if val.lower() in ("none", "null") else _json.loads(val)
+            bag_cfg = dataclasses.replace(bag_cfg, **{key: parsed})
         if cfg.with_camera != bag_cfg.with_camera:
             raise ValueError(
                 f"pipeline with_camera={cfg.with_camera} but frontend "

@@ -22,6 +22,10 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _try_load() -> Optional[ctypes.CDLL]:
     global _lib
+    if os.environ.get("GCSLAM_NO_NATIVE") == "1":
+        # Rehearsal attribution toggle (VERDICT r4 #3): force the pure-Python
+        # decode path so native-vs-Python frontend deltas are measurable.
+        return None
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):

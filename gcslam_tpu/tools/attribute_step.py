@@ -36,8 +36,14 @@ VARIANTS = {
     "no_merge": {"k_merge_pairs_tile": 0},
     "view_256": {"m_tile_view": 256},
     "tiles_32": {"atlas_max_tiles": 32},
-    "sinkhorn_10": {"k_sinkhorn": 10},
-    "hyp_1": {"k_hyp": 1, "hyp_diversify": False},
+    # compile-time-budget variants: production fail-fast pins config budgets
+    # to the compiled constants, so these rebuild the constants in a
+    # SUBPROCESS via the sanctioned GCSLAM_* overrides (VERDICT r4 #8) and
+    # measure there.
+    "sinkhorn_10": {"_env": {"GCSLAM_K_SINKHORN": "10"}},
+    "sinkhorn_20": {"_env": {"GCSLAM_K_SINKHORN": "20"}},
+    "hyp_1": {"_env": {"GCSLAM_K_HYP": "1"}},
+    "hyp_2": {"_env": {"GCSLAM_K_HYP": "2"}},
     "surfel_512": {"n_surfel": 512},
     "m_tile_1024": {"m_tile": 1024},
     "shortlist_16": {"k_shortlist": 16},
@@ -222,17 +228,48 @@ def main(argv=None) -> dict:
     out["base"] = measure_fn(cfg0)
     print("base", json.dumps(out["base"]), flush=True)
 
+    key = "ms_per_scan" if args.replay else "ms_p50"
     for name in [v for v in args.variants.split(",") if v]:
         over = VARIANTS[name]
         if name == "view_256" and cfg0.m_tile_view <= 256:
             continue  # small mode: variant not meaningful
         if name == "tiles_32" and cfg0.atlas_max_tiles <= 32:
             continue
+        if "_env" in over:
+            # Compile-time budget: rebuild the constants in a subprocess
+            # (base-only run) under the sanctioned GCSLAM_* override.
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile("r", suffix=".json") as tf:
+                sub_args = [_sys.executable, "-m",
+                            "gcslam_tpu.tools.attribute_step",
+                            "--variants", "", "--json", tf.name,
+                            "--points", str(args.points),
+                            "--steps", str(args.steps),
+                            "--precision", args.precision]
+                if args.replay:
+                    sub_args += ["--replay", str(args.replay)]
+                if args.cpu:
+                    sub_args += ["--cpu"]
+                if args.small:
+                    sub_args += ["--small"]
+                env = dict(os.environ, **over["_env"])
+                r = subprocess.run(sub_args, env=env, capture_output=True,
+                                   text=True)
+                try:
+                    sub = json.load(open(tf.name))
+                    out[name] = sub["base"]
+                    out[name]["delta_ms"] = round(
+                        out["base"][key] - out[name][key], 3)
+                except Exception:
+                    out[name] = {"error": (r.stderr or r.stdout)[-200:]}
+            print(name, json.dumps(out[name]), flush=True)
+            continue
         cfg = dataclasses.replace(cfg0, **over)
         try:
             cfg.validate()
             out[name] = measure_fn(cfg)
-            key = "ms_per_scan" if args.replay else "ms_p50"
             out[name]["delta_ms"] = round(out["base"][key] - out[name][key], 3)
         except Exception as e:
             out[name] = {"error": str(e)[:200]}
