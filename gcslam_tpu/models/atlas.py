@@ -520,8 +520,57 @@ def _transform_to_world(Lam_b, th_b, eta_b, R, t, eps_lift):
     return Lam_w, th_w, eta_w, mu_w
 
 
+class _Slab(NamedTuple):
+    """The (A, M, ...) active-stencil slab of every per-slot atlas channel.
+
+    MAP-STAGE COLLAPSE (round 5): fuse/insert/cull/merge each used to
+    gather their own slab from the (T, M) atlas and scatter it straight
+    back — 4 gather+scatter rounds of ~15 channels, which the TPU HLO
+    showed as ~9 copies of the (7, 2048, 3, 3) Lambda slab alone
+    (~27 MB of copies per scan, tools/hlo_census). map_update_step now
+    gathers ONCE, chains the four stages slab-to-slab (pure elementwise /
+    in-slab scatters), and scatters ONCE."""
+
+    Lambdas: jnp.ndarray  # (A, M, 3, 3)
+    thetas: jnp.ndarray  # (A, M, 3)
+    etas: jnp.ndarray  # (A, M, B, 3)
+    weights: jnp.ndarray  # (A, M)
+    valid: jnp.ndarray  # (A, M) bool
+    timestamps: jnp.ndarray  # (A, M)
+    created: jnp.ndarray  # (A, M)
+    last_supported: jnp.ndarray  # (A, M) int32
+    last_update: jnp.ndarray  # (A, M) int32
+    primitive_ids: jnp.ndarray  # (A, M) int32
+    cam_mass: jnp.ndarray  # (A, M)
+    lidar_mass: jnp.ndarray  # (A, M)
+    rgb_accum: jnp.ndarray  # (A, M, 3)
+    rgb_denom: jnp.ndarray  # (A, M)
+    rgb: jnp.ndarray  # (A, M, 3)
+
+
+def _gather_slab(atlas: AtlasState, active_slots) -> _Slab:
+    return _Slab(**{f: getattr(atlas, f)[active_slots] for f in _Slab._fields})
+
+
+def _scatter_slab(atlas: AtlasState, active_slots, slab: _Slab) -> AtlasState:
+    a = active_slots
+    return atlas._replace(
+        **{f: getattr(atlas, f).at[a].set(getattr(slab, f))
+           for f in _Slab._fields}
+    )
+
+
 def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
           Lam_w, th_w, eta_w, active_slots, scan_seq, timestamp, cfg: PipelineConfig):
+    """Compatibility wrapper: gather slab -> _fuse_slab -> scatter."""
+    slab = _gather_slab(atlas, active_slots)
+    slab, fused_mass = _fuse_slab(
+        slab, view, extras, Lam_w, th_w, eta_w, scan_seq, timestamp, cfg)
+    return _scatter_slab(atlas, active_slots, slab), fused_mass
+
+
+def _fuse_slab(slab: _Slab, view: AtlasView, extras: MapExtras,
+               Lam_w, th_w, eta_w, scan_seq, timestamp, cfg: PipelineConfig):
     """PoE scatter-add fuse of all (meas, candidate) pairs in ONE pass
     (replaces the reference's Python block x tile loops, pipeline.py:1258-1327).
 
@@ -532,8 +581,7 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
     m_tile_1024 -7.9 ms). Pool row p sits at stencil position p // m_tile_view
     by construction (extract_view stitches tiles in active_slots order), so
     the pool -> slab mapping needs no table lookup."""
-    T, M = atlas.weights.shape
-    S = active_slots.shape[0]
+    S, M = slab.weights.shape
     V = cfg.m_tile_view
     N, K = extras.responsibilities.shape
     pool = extras.cand_pool.reshape(-1)  # (N*K,)
@@ -592,16 +640,16 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
     # active tile rows. Channels whose update depends on the OLD value
     # (timestamps/rgb/...) gather the S-row slab, combine, scatter-SET.
     cam_inc = seg(13 + NB, 1, (S, M))
-    cam_slab = atlas.cam_mass[active_slots] + cam_inc
-    rgb_accum_slab = atlas.rgb_accum[active_slots] + seg(15 + NB, 3, (S, M, 3))
-    rgb_denom_slab = atlas.rgb_denom[active_slots] + cam_inc
+    cam_slab = slab.cam_mass + cam_inc
+    rgb_accum_slab = slab.rgb_accum + seg(15 + NB, 3, (S, M, 3))
+    rgb_denom_slab = slab.rgb_denom + cam_inc
     resp_sum = seg(18 + NB, 1, (S, M))
     updated = resp_sum > 0.0
     seq32 = scan_seq.astype(jnp.int32)
-    ls_slab = jnp.where(updated, seq32, atlas.last_supported[active_slots])
-    lu_slab = jnp.where(updated, seq32, atlas.last_update[active_slots])
+    ls_slab = jnp.where(updated, seq32, slab.last_supported)
+    lu_slab = jnp.where(updated, seq32, slab.last_update)
     ts_slab = jnp.where(
-        updated, timestamp.astype(TIME_DTYPE), atlas.timestamps[active_slots]
+        updated, timestamp.astype(TIME_DTYPE), slab.timestamps
     )
     has_cam = cam_slab > 0.0
     rgb_est = jnp.clip(
@@ -610,30 +658,40 @@ def _fuse(atlas: AtlasState, view: AtlasView, extras: MapExtras,
     rgb_slab = jnp.where(has_cam[..., None], rgb_est, 0.5)
 
     fused_mass = jnp.sum(resp * w_m)
-    a = active_slots
-    atlas = atlas._replace(
-        Lambdas=atlas.Lambdas.at[a].add(seg(0, 9, (S, M, 3, 3))),
-        thetas=atlas.thetas.at[a].add(seg(9, 3, (S, M, 3))),
-        etas=atlas.etas.at[a].add(seg(12, NB, (S, M, C.VMF_N_LOBES, 3))),
-        weights=atlas.weights.at[a].add(seg(12 + NB, 1, (S, M))),
-        timestamps=atlas.timestamps.at[a].set(ts_slab),
-        last_supported=atlas.last_supported.at[a].set(ls_slab),
-        last_update=atlas.last_update.at[a].set(lu_slab),
-        cam_mass=atlas.cam_mass.at[a].set(cam_slab),
-        lidar_mass=atlas.lidar_mass.at[a].add(seg(14 + NB, 1, (S, M))),
-        rgb_accum=atlas.rgb_accum.at[a].set(rgb_accum_slab),
-        rgb_denom=atlas.rgb_denom.at[a].set(rgb_denom_slab),
-        rgb=atlas.rgb.at[a].set(rgb_slab),
+    slab = slab._replace(
+        Lambdas=slab.Lambdas + seg(0, 9, (S, M, 3, 3)).astype(slab.Lambdas.dtype),
+        thetas=slab.thetas + seg(9, 3, (S, M, 3)).astype(slab.thetas.dtype),
+        etas=slab.etas + seg(12, NB, (S, M, C.VMF_N_LOBES, 3)).astype(slab.etas.dtype),
+        weights=slab.weights + seg(12 + NB, 1, (S, M)).astype(slab.weights.dtype),
+        timestamps=ts_slab,
+        last_supported=ls_slab,
+        last_update=lu_slab,
+        cam_mass=cam_slab,
+        lidar_mass=slab.lidar_mass + seg(14 + NB, 1, (S, M)).astype(slab.lidar_mass.dtype),
+        rgb_accum=rgb_accum_slab,
+        rgb_denom=rgb_denom_slab,
+        rgb=rgb_slab,
     )
-    return atlas, fused_mass
+    return slab, fused_mass
 
 
 def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
             active_slots, active_ids, scan_seq, timestamp, cfg: PipelineConfig):
+    """Compatibility wrapper: gather slab -> _insert_slab -> scatter."""
+    slab = _gather_slab(atlas, active_slots)
+    slab, next_id, insert_mass, evicted_mass, events = _insert_slab(
+        slab, atlas.next_global_id, extras, mu_w, Lam_w, th_w, eta_w,
+        active_ids, scan_seq, timestamp, cfg)
+    atlas = _scatter_slab(atlas, active_slots, slab)
+    return atlas._replace(next_global_id=next_id), insert_mass, evicted_mass, events
+
+
+def _insert_slab(slab: _Slab, next_global_id, extras: MapExtras, mu_w,
+                 Lam_w, th_w, eta_w, active_ids, scan_seq, timestamp,
+                 cfg: PipelineConfig):
     """Novelty-driven fixed-budget insert with lowest-retention eviction
     (reference pipeline.py:1329-1410 + primitive_map_insert_masked)."""
-    T, M = atlas.weights.shape
-    A = active_slots.shape[0]
+    A, M = slab.weights.shape
     Kin = cfg.k_insert_tile
     b = extras.batch
 
@@ -656,12 +714,12 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     do_insert = top_score > 0.0  # in-tile & valid & positive novelty mass
 
     # Eviction targets: Kin lowest-retention slots per tile (invalid first).
-    dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - atlas.last_supported[active_slots])
+    dt = jnp.maximum(0, scan_seq.astype(jnp.int32) - slab.last_supported)
     decay = jnp.exp(-cfg.recency_decay_lambda * dt.astype(MAPF))
-    retention = atlas.weights[active_slots] * decay
+    retention = slab.weights * decay
     # -inf (not inf after negation) keeps approx_max_k's reduction happy:
     # invalid slots rank FIRST for eviction via a large finite bonus.
-    retention = jnp.where(atlas.valid[active_slots], retention, -jnp.inf)
+    retention = jnp.where(slab.valid, retention, -jnp.inf)
     evict_rank = jnp.where(jnp.isfinite(retention), -retention, 1e30)
     _, evict_slots = _select_top(evict_rank, Kin, cfg)  # (A, Kin) lowest retention
 
@@ -677,7 +735,7 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     cam_i = (b.sources[gi] == 0).astype(MAPF)
 
     # Global ids via prefix sum over insert order.
-    order_ids = (atlas.next_global_id + jnp.cumsum(ins_valid.astype(jnp.int32)) - 1).astype(jnp.int32)
+    order_ids = (next_global_id + jnp.cumsum(ins_valid.astype(jnp.int32)) - 1).astype(jnp.int32)
     new_ids = jnp.where(ins_valid, order_ids, jnp.int32(-1))
     n_inserted = jnp.sum(ins_valid.astype(jnp.int32)).astype(jnp.int32)
 
@@ -745,39 +803,35 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
     )
 
     def pick(old, o, w):
-        old_slab = old[active_slots].reshape((A * M,) + old.shape[2:])
-        new = (acc32[:, o] if w == 1 else acc32[:, o:o + w]).reshape(old_slab.shape)
+        old_flat = old.reshape((A * M,) + old.shape[2:])
+        new = (acc32[:, o] if w == 1 else acc32[:, o:o + w]).reshape(old_flat.shape)
         m = written.reshape((A * M,) + (1,) * (old.ndim - 2))
-        slab = jnp.where(m, new, old_slab).reshape((A, M) + old.shape[2:])
-        return old.at[active_slots].set(slab)
+        return jnp.where(m, new.astype(old.dtype), old_flat).reshape(old.shape)
 
     def pick64(old, col, astype=None):
         new = acc64[:, col].reshape(A, M)
         if astype is not None:
             new = new.astype(astype)
-        slab = jnp.where(written, new, old[active_slots])
-        return old.at[active_slots].set(slab)
+        return jnp.where(written, new.astype(old.dtype), old)
 
-    atlas = atlas._replace(
-        Lambdas=pick(atlas.Lambdas, 0, 9),
-        thetas=pick(atlas.thetas, 9, 3),
-        etas=pick(atlas.etas, 12, NB),
-        weights=pick(atlas.weights, 12 + NB, 1),
-        timestamps=pick64(atlas.timestamps, 0),
-        created=pick64(atlas.created, 1),
-        last_supported=pick64(atlas.last_supported, 2, jnp.int32),
-        last_update=pick64(atlas.last_update, 2, jnp.int32),
-        primitive_ids=pick64(atlas.primitive_ids, 3, jnp.int32),
-        valid=atlas.valid.at[active_slots].set(
-            atlas.valid[active_slots] | written
-        ),
-        cam_mass=pick(atlas.cam_mass, 13 + NB, 1),
-        lidar_mass=pick(atlas.lidar_mass, 14 + NB, 1),
-        rgb_accum=pick(atlas.rgb_accum, 15 + NB, 3),
-        rgb_denom=pick(atlas.rgb_denom, 13 + NB, 1),
-        rgb=pick(atlas.rgb, 18 + NB, 3),
-        next_global_id=(atlas.next_global_id + n_inserted).astype(jnp.int32),
+    slab = slab._replace(
+        Lambdas=pick(slab.Lambdas, 0, 9),
+        thetas=pick(slab.thetas, 9, 3),
+        etas=pick(slab.etas, 12, NB),
+        weights=pick(slab.weights, 12 + NB, 1),
+        timestamps=pick64(slab.timestamps, 0),
+        created=pick64(slab.created, 1),
+        last_supported=pick64(slab.last_supported, 2, jnp.int32),
+        last_update=pick64(slab.last_update, 2, jnp.int32),
+        primitive_ids=pick64(slab.primitive_ids, 3, jnp.int32),
+        valid=slab.valid | written,
+        cam_mass=pick(slab.cam_mass, 13 + NB, 1),
+        lidar_mass=pick(slab.lidar_mass, 14 + NB, 1),
+        rgb_accum=pick(slab.rgb_accum, 15 + NB, 3),
+        rgb_denom=pick(slab.rgb_denom, 13 + NB, 1),
+        rgb=pick(slab.rgb, 18 + NB, 3),
     )
+    next_global_id = (next_global_id + n_inserted).astype(jnp.int32)
     insert_mass = jnp.sum(w_i)
     # Per-insertion event payloads (reference pipeline.py:1393-1410 logs
     # tile_id/mu_world/weight per inserted primitive for post-run replay):
@@ -788,7 +842,7 @@ def _insert(atlas: AtlasState, extras: MapExtras, mu_w, Lam_w, th_w, eta_w,
         ins_mu=mu_w[gi].astype(MAPF) * ins_valid[:, None].astype(MAPF),
         ins_w=w_i,
     )
-    return atlas, insert_mass, evicted_mass, events
+    return slab, next_global_id, insert_mass, evicted_mass, events
 
 
 # Precision floor below which a primitive is informationless: repeated
@@ -800,14 +854,21 @@ LAMBDA_CULL_FLOOR = 1e-12
 
 
 def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
+    """Compatibility wrapper: gather slab -> _cull_forget_slab -> scatter."""
+    slab = _gather_slab(atlas, active_slots)
+    slab, mass_dropped, n_culled = _cull_forget_slab(slab, cfg)
+    return _scatter_slab(atlas, active_slots, slab), mass_dropped, n_culled
+
+
+def _cull_forget_slab(slab: _Slab, cfg: PipelineConfig):
     """Cull below-threshold weights + precision-collapsed primitives +
     continuous forgetting, active tiles only (reference
     primitive_map.py:1157-1386; the Lambda floor is an addition — the
     reference's unbounded dict atlas never decays precision to underflow)."""
-    w_act = atlas.weights[active_slots]
-    v_act = atlas.valid[active_slots]
+    w_act = slab.weights
+    v_act = slab.valid
     lam_max = jnp.max(
-        jnp.abs(jnp.diagonal(atlas.Lambdas[active_slots], axis1=-2, axis2=-1)),
+        jnp.abs(jnp.diagonal(slab.Lambdas, axis1=-2, axis2=-1)),
         axis=-1,
     )  # (S, M)
     below = v_act & (
@@ -815,9 +876,11 @@ def _cull_forget(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     )
     mass_dropped = jnp.sum(w_act * below.astype(MAPF))
     n_culled = jnp.sum(below.astype(jnp.int32))
-    valid = atlas.valid.at[active_slots].set(v_act & ~below)
-    weights = atlas.weights.at[active_slots].set(w_act * cfg.forgetting_factor)
-    return atlas._replace(valid=valid, weights=weights), mass_dropped, n_culled
+    slab = slab._replace(
+        valid=v_act & ~below,
+        weights=w_act * cfg.forgetting_factor,
+    )
+    return slab, mass_dropped, n_culled
 
 
 V_MERGE = 128  # merge-reduce candidate window per tile (fixed budget)
@@ -844,32 +907,37 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     Gaussian moments; vMF lobes and provenance add; the losing slot is
     invalidated.
     """
+    slab = _gather_slab(atlas, active_slots)
+    slab, n_merged = _merge_reduce_slab(slab, cfg)
+    if slab is None:  # merge disabled: no-op without a scatter round-trip
+        return atlas, n_merged
+    return _scatter_slab(atlas, active_slots, slab), n_merged
+
+
+def _merge_reduce_slab(slab: _Slab, cfg: PipelineConfig):
     Kp = cfg.k_merge_pairs_tile
     if Kp <= 0:  # merge disabled — a zero budget must be a no-op, not a crash
-        return atlas, jnp.zeros((), dtype=jnp.int32)
-    A = active_slots.shape[0]
-    Mfull = atlas.weights.shape[1]
+        return None, jnp.zeros((), dtype=jnp.int32)
+    A, Mfull = slab.weights.shape
     f64 = BELIEF_DTYPE
     V = min(V_MERGE, Mfull)
     KC = min(KC_MERGE, (V * (V - 1)) // 2)
 
-    # SLAB LAYOUT (same rationale as _fuse/_insert): gather the (A, M)
-    # stencil slab once, merge WITHIN the slab, scatter the slab back. The
-    # previous apply was ~12 scatters targeting full (T, M, ...) arrays —
-    # XLA copy-inserts several of them, which made merge cost scale with
-    # TOTAL atlas size (ATTRIB r4 mid-round: no_merge -5.1 ms with residual
-    # tiles_32 dependence after the fuse/insert slab refactor).
-    w_slab = atlas.weights[active_slots]  # (A, M)
-    v_slab = atlas.valid[active_slots]
-    Lam_slab = atlas.Lambdas[active_slots]
-    th_slab = atlas.thetas[active_slots]
-    eta_slab = atlas.etas[active_slots]
-    cam_slab = atlas.cam_mass[active_slots]
-    lid_slab = atlas.lidar_mass[active_slots]
-    rga_slab = atlas.rgb_accum[active_slots]
-    rgd_slab = atlas.rgb_denom[active_slots]
-    rgb_slab = atlas.rgb[active_slots]
-    ls_slab = atlas.last_supported[active_slots]
+    # SLAB LAYOUT (same rationale as _fuse/_insert): all reads and the
+    # merge apply operate on the (A, M) stencil slab; map_update_step owns
+    # the single gather/scatter round (ATTRIB r4 mid-round: no_merge
+    # -5.1 ms with residual tiles_32 dependence before this).
+    w_slab = slab.weights  # (A, M)
+    v_slab = slab.valid
+    Lam_slab = slab.Lambdas
+    th_slab = slab.thetas
+    eta_slab = slab.etas
+    cam_slab = slab.cam_mass
+    lid_slab = slab.lidar_mass
+    rga_slab = slab.rgb_accum
+    rgd_slab = slab.rgb_denom
+    rgb_slab = slab.rgb
+    ls_slab = slab.last_supported
     score = jnp.where(v_slab, w_slab, -jnp.inf)
     _, cand = _select_top(score, V, cfg)  # (A, V)
 
@@ -944,7 +1012,7 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     # of batched drop-mode scatters. (This replaced a fori_loop of A*Kp
     # lax.conds over full-atlas updates that dominated compile time,
     # VERDICT r1 weak #2.)
-    T, M = atlas.weights.shape
+    M = Mfull
     ok = sel_i >= 0  # (A, Kp)
     ii = jnp.maximum(sel_i, 0)
     jj = jnp.maximum(sel_j, 0)
@@ -1002,48 +1070,37 @@ def _merge_reduce(atlas: AtlasState, active_slots, cfg: PipelineConfig):
     ls_i, ls_j = g2(ls_slab, ci), g2(ls_slab, cj)
     zero_k = jnp.zeros_like(w1)
 
-    a = active_slots
-    atlas = atlas._replace(
-        Lambdas=atlas.Lambdas.at[a].set(supd(Lam_slab, fi, Lam_m)),
-        thetas=atlas.thetas.at[a].set(supd(th_slab, fi, th_m)),
-        etas=atlas.etas.at[a].set(supd(eta_slab, fi, eta_m)),
-        weights=atlas.weights.at[a].set(
-            supd(supd(w_slab, fi, wsum), fj, zero_k)
-        ),
-        valid=atlas.valid.at[a].set(supd(v_slab, fj, jnp.zeros_like(ok))),
-        cam_mass=atlas.cam_mass.at[a].set(
-            supd(supd(cam_slab, fi, cam_i + cam_j), fj, zero_k)
-        ),
-        lidar_mass=atlas.lidar_mass.at[a].set(
-            supd(supd(lid_slab, fi, lid_i + lid_j), fj, zero_k)
-        ),
-        rgb_accum=atlas.rgb_accum.at[a].set(supd(rga_slab, fi, rga_i + rga_j)),
-        rgb_denom=atlas.rgb_denom.at[a].set(supd(rgd_slab, fi, rgd_i + rgd_j)),
+    slab = slab._replace(
+        Lambdas=supd(Lam_slab, fi, Lam_m),
+        thetas=supd(th_slab, fi, th_m),
+        etas=supd(eta_slab, fi, eta_m),
+        weights=supd(supd(w_slab, fi, wsum), fj, zero_k),
+        valid=supd(v_slab, fj, jnp.zeros_like(ok)),
+        cam_mass=supd(supd(cam_slab, fi, cam_i + cam_j), fj, zero_k),
+        lidar_mass=supd(supd(lid_slab, fi, lid_i + lid_j), fj, zero_k),
+        rgb_accum=supd(rga_slab, fi, rga_i + rga_j),
+        rgb_denom=supd(rgd_slab, fi, rgd_i + rgd_j),
         # Refresh the canonical color for winner rows NOW: the old full-atlas
         # rgb recompute in _fuse healed merged colors the next scan, but the
         # slab refactor only touches active tiles — a tile merged on its last
         # active scan would export a stale pre-merge color (ADVICE r4).
-        rgb=atlas.rgb.at[a].set(
-            supd(
-                rgb_slab,
-                fi,
-                jnp.where(
-                    ((cam_i + cam_j) > 0)[..., None],
-                    jnp.clip(
-                        (rga_i + rga_j)
-                        / jnp.maximum((rgd_i + rgd_j)[..., None], C.EPS_MASS),
-                        0.0,
-                        1.0,
-                    ),
-                    0.5,
+        rgb=supd(
+            rgb_slab,
+            fi,
+            jnp.where(
+                ((cam_i + cam_j) > 0)[..., None],
+                jnp.clip(
+                    (rga_i + rga_j)
+                    / jnp.maximum((rgd_i + rgd_j)[..., None], C.EPS_MASS),
+                    0.0,
+                    1.0,
                 ),
-            )
+                0.5,
+            ),
         ),
-        last_supported=atlas.last_supported.at[a].set(
-            supd(ls_slab, fi, jnp.maximum(ls_i, ls_j))
-        ),
+        last_supported=supd(ls_slab, fi, jnp.maximum(ls_i, ls_j)),
     )
-    return atlas, jnp.sum(n_sel)
+    return slab, jnp.sum(n_sel)
 
 
 def map_update_step(
@@ -1065,14 +1122,24 @@ def map_update_step(
         b.Lambdas, b.thetas, b.etas, R_t, t_t, cfg.eps_lift
     )
 
-    atlas, fused_mass = _fuse(
-        atlas, view, extras, Lam_w, th_w, eta_w, active_slots, scan_seq, timestamp, cfg
+    # MAP-STAGE COLLAPSE: one slab gather, the four stages chained
+    # slab-to-slab, one scatter — instead of 4 gather+scatter rounds of
+    # ~15 (A, M, ...) channels each (the TPU HLO showed ~9 copies of the
+    # Lambda slab alone before this; tools/hlo_census).
+    slab = _gather_slab(atlas, active_slots)
+    slab, fused_mass = _fuse_slab(
+        slab, view, extras, Lam_w, th_w, eta_w, scan_seq, timestamp, cfg
     )
-    atlas, insert_mass, evicted_mass, ins_events = _insert(
-        atlas, extras, mu_w, Lam_w, th_w, eta_w, active_slots, active_ids, scan_seq, timestamp, cfg
+    slab, next_id, insert_mass, evicted_mass, ins_events = _insert_slab(
+        slab, atlas.next_global_id, extras, mu_w, Lam_w, th_w, eta_w,
+        active_ids, scan_seq, timestamp, cfg
     )
-    atlas, cull_mass, n_culled = _cull_forget(atlas, active_slots, cfg)
-    atlas, n_merged = _merge_reduce(atlas, active_slots, cfg)
+    slab, cull_mass, n_culled = _cull_forget_slab(slab, cfg)
+    merged_slab, n_merged = _merge_reduce_slab(slab, cfg)
+    if merged_slab is not None:
+        slab = merged_slab
+    atlas = _scatter_slab(atlas, active_slots, slab)
+    atlas = atlas._replace(next_global_id=next_id)
 
     tape = dict(
         fused_mass=fused_mass.astype(BELIEF_DTYPE),

@@ -119,6 +119,55 @@ class StepOutput(NamedTuple):
     tape: ScanTape
 
 
+# --- packed tape transport for lax.scan (op-count campaign, round 5) -------
+# Stacking ~44 individual 0-d tape outputs through lax.scan costs one
+# dynamic-update-slice + carry-tuple entry EACH per scan (the TPU HLO showed
+# 42x f32[50] DUS per iteration, tools/hlo_census). The scalar fields ride
+# as ONE (F,) vector instead; timestamp stays separate (TIME_DTYPE f64 must
+# not round through the f32 belief dtype), as do the uint64 trigger mask and
+# the per-insertion event arrays.
+_TAPE_NONSCALAR = ("timestamp", "cert_triggers", "map_ins_ids",
+                   "map_ins_tiles", "map_ins_mu", "map_ins_w")
+_TAPE_PACKED_FIELDS = tuple(
+    f for f in ScanTape._fields if f not in _TAPE_NONSCALAR)
+
+
+class PackedStepOutput(NamedTuple):
+    pose: jnp.ndarray  # (6,)
+    stamp: jnp.ndarray  # ()
+    tape_vec: jnp.ndarray  # (F,) scalar tape fields, BELIEF_DTYPE
+    tape_timestamp: jnp.ndarray  # () TIME_DTYPE
+    tape_triggers: jnp.ndarray  # () uint64
+    ins_ids: jnp.ndarray
+    ins_tiles: jnp.ndarray
+    ins_mu: jnp.ndarray
+    ins_w: jnp.ndarray
+
+
+def pack_output(out: StepOutput) -> PackedStepOutput:
+    t = out.tape
+    vec = jnp.stack([getattr(t, f).astype(BELIEF_DTYPE)
+                     for f in _TAPE_PACKED_FIELDS])
+    return PackedStepOutput(
+        pose=out.pose, stamp=out.stamp, tape_vec=vec,
+        tape_timestamp=t.timestamp, tape_triggers=t.cert_triggers,
+        ins_ids=t.map_ins_ids, ins_tiles=t.map_ins_tiles,
+        ins_mu=t.map_ins_mu, ins_w=t.map_ins_w,
+    )
+
+
+def unpack_outputs(p: PackedStepOutput) -> StepOutput:
+    """Inverse of pack_output; works on lax.scan-stacked outputs too (the
+    field axis is the LAST axis of tape_vec)."""
+    cols = {f: p.tape_vec[..., i] for i, f in enumerate(_TAPE_PACKED_FIELDS)}
+    tape = ScanTape(
+        timestamp=p.tape_timestamp, cert_triggers=p.tape_triggers,
+        map_ins_ids=p.ins_ids, map_ins_tiles=p.ins_tiles,
+        map_ins_mu=p.ins_mu, map_ins_w=p.ins_w, **cols,
+    )
+    return StepOutput(pose=p.pose, stamp=p.stamp, tape=tape)
+
+
 class HypOutputs(NamedTuple):
     belief: Belief
     dPsi_proc: jnp.ndarray
