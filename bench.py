@@ -139,16 +139,30 @@ def main() -> None:
     ate_c = ate_rpe.compute_ate(np.asarray(out_c.pose), run.gt_poses, align="initial")
     report["chunked_ate_trans_rmse_m"] = round(ate_c["translation"]["rmse"], 4)
 
-    # --- 2b. OVERLAPPED streaming (VERDICT r3 #7): stage chunk N+1 (host
-    # stack + device_put on a second thread) while chunk N computes — the
-    # wall-clock a live robot actually sees (reference async LiDAR worker,
-    # backend_node.py:1340-1388). One (CHUNK,)-shaped program per chunk;
-    # staging is hidden iff stream_overlapped_ms ~= replay_ms + dispatch.
+    # --- 2b. OVERLAPPED streaming (VERDICT r3 #7 / r4 #5): stage chunk N+1
+    # while chunk N computes — the wall-clock a live robot actually sees
+    # (reference async LiDAR worker, backend_node.py:1340-1388). Staging is
+    # DEVICE-SIDE (runner.make_device_stager): per scan, one small h2d + one
+    # jitted donated row write into the device-resident window. The r4
+    # version staged on the host (`stack_scan_batches` under the GIL in a
+    # producer thread) and on this 1-CPU box the producer CONTENDED with the
+    # dispatch thread — overlapped came out SLOWER than serial (15.8 vs
+    # 11.6 ms/scan). One (CHUNK,)-shaped program per chunk; staging is
+    # hidden iff stream_overlapped_ms ~= chunked_ms.
     import queue as _queue
     import threading
 
     chunk_fn = jax.jit(lambda s, b: runner.run_scan(s, b, cfg))
-    win0 = jax.device_put(stack_scan_batches(run.batches[:CHUNK]))
+    empty_win, stage_one = runner.make_device_stager(run.batches[0], CHUNK)
+    import jax.numpy as jnp
+
+    make_empty = jax.jit(
+        lambda: jax.tree_util.tree_map(jnp.zeros_like, empty_win))
+
+    # warm all three programs
+    win0 = make_empty()
+    for k in range(CHUNK):
+        win0 = stage_one(win0, run.batches[k], k)
     t0 = time.time()
     st_w, out_w = chunk_fn(init_state(cfg), win0)
     _read(out_w.pose)
@@ -159,8 +173,10 @@ def main() -> None:
 
     def _producer():
         for c in range(n_chunks):
-            w = stack_scan_batches(run.batches[c * CHUNK:(c + 1) * CHUNK])
-            staged.put(jax.device_put(w))  # h2d overlaps device compute
+            buf = make_empty()
+            for k in range(CHUNK):
+                buf = stage_one(buf, run.batches[c * CHUNK + k], k)
+            staged.put(buf)
         staged.put(None)
 
     state_o = init_state(cfg)

@@ -80,6 +80,18 @@ class PipelineConfig:
     recency_min_scale: float = C.RECENCY_MIN_SCALE
     k_insert_tile: int = C.K_INSERT_TILE
     k_merge_pairs_tile: int = C.K_MERGE_PAIRS_PER_TILE
+    # Merge-reduce cadence: run the merge stage every K-th scan (1 = every
+    # scan, reference behavior). Merge is the single most expensive map
+    # stage (ATTRIB_r05: 2.07 ms of 11.5 ms/scan) and its effect is
+    # maintenance. Measured on the 50-scan production bench world (TPU):
+    #   K=1: 12.3 ms, ATE rot 0.227 deg
+    #   K=2: 11.1 ms, 0.504 deg   <- default: under the reference parity
+    #                                bar (0.65 deg, BASELINE.md) at -1.2 ms
+    #   K=4: 10.5 ms, 0.778 deg
+    # The rot sensitivity shows merge's moment-matched averaging also acts
+    # as map smoothing, not just compaction. Declared budgeting
+    # approximation; set 1 for maximum-accuracy replays.
+    merge_every: int = 2
     merge_threshold: float = C.PRIMITIVE_MERGE_THRESHOLD
     cull_weight_threshold: float = C.PRIMITIVE_CULL_WEIGHT_THRESHOLD
     forgetting_factor: float = C.PRIMITIVE_FORGETTING_FACTOR
@@ -280,6 +292,7 @@ PARAM_RANGES = [
     ("recency_min_scale", 0.0, 1.0),
     ("k_insert_tile", 1, 4096),
     ("merge_threshold", 0.0, 1e6),
+    ("merge_every", 1, 64),
     ("cull_weight_threshold", 0.0, 1e6),
     ("forgetting_factor", 0.0, 1.0),
     ("ot_epsilon", 1e-6, 1e3),

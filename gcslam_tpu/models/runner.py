@@ -259,6 +259,35 @@ def run_bag(
     return run_scan(state, stacked_batches, config)
 
 
+def make_device_stager(example: ScanBatch, chunk: int):
+    """Device-side scan staging for overlapped streaming (VERDICT r4 #5).
+
+    Returns (empty_window, stage_one) where stage_one(buf, batch, k) writes
+    scan `batch` into row k of the device-resident (chunk, ...) window via
+    ONE jitted donated dynamic-update — the host's only per-scan work is the
+    small h2d of that scan. The r4 overlapped path staged on the HOST
+    (`stack_scan_batches` = dozens of np.stack memcpys under the GIL) in a
+    producer thread that contended with the dispatch thread on this 1-CPU
+    box, making 'overlapped' SLOWER than serial (15.8 vs 11.6 ms/scan)."""
+    import jax.numpy as jnp
+
+    def _zeros(x):
+        x = jnp.asarray(x)
+        return jnp.zeros((chunk,) + x.shape, dtype=x.dtype)
+
+    empty = jax.tree_util.tree_map(_zeros, example)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def stage_one(buf, b, k):
+        return jax.tree_util.tree_map(
+            lambda B, x: jax.lax.dynamic_update_index_in_dim(
+                B, jax.numpy.asarray(x, B.dtype), k, 0),
+            buf, b,
+        )
+
+    return empty, stage_one
+
+
 def run_chunked(
     batches: List[ScanBatch],
     config: PipelineConfig,

@@ -8,9 +8,9 @@ enough — we must override via jax.config BEFORE the first backend init.
 
 import os
 
-# Never enable the persistent compile cache under pytest: a large compile's
-# cache write (zstandard) can crash under end-of-suite memory pressure, and
-# tests must not depend on cross-run on-disk state anyway.
+# Keep the PRODUCTION cache dir (.jax_cache) out of tests — eval.run must
+# not mix test-budget entries into the TPU cache. Tests get their own
+# persistent cache below (tests/.jax_test_cache).
 os.environ["GCSLAM_JAX_CACHE_DISABLE"] = "1"
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -28,6 +28,18 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for TESTS (VERDICT r4 #10: the 59-min suite spent
+# most wall-clock recompiling the same small-budget pipelines in every
+# fresh per-file process). Safe now because the canonical lane runs one
+# file per process (tests/run_suite.py) — the round-2 cache-write segfault
+# happened under end-of-suite memory pressure in ONE long-lived process.
+# GCSLAM_TEST_NO_CACHE=1 opts out.
+if os.environ.get("GCSLAM_TEST_NO_CACHE") != "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import gcslam_tpu  # noqa: E402,F401  (enables x64 before any test builds arrays)
 
