@@ -127,6 +127,9 @@ def main() -> None:
     ap.add_argument("--points", type=int, default=None)
     ap.add_argument("--json", default=None)
     ap.add_argument("--dump", default=None, help="also write the HLO text here")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="PipelineConfig overrides (JSON values), e.g. "
+                         "--set with_map=false")
     args = ap.parse_args()
 
     import os
@@ -147,7 +150,11 @@ def main() -> None:
     from gcslam_tpu.models.scan_io import stack_scan_batches
     from gcslam_tpu.frontend.synthetic import generate, SyntheticConfig
 
-    cfg = PipelineConfig()
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k] = json.loads(v)
+    cfg = PipelineConfig(**overrides)
     cfg.validate()
     n_pts = args.points or cfg.n_points_cap
     run = generate(SyntheticConfig(n_scans=args.scans, n_points=n_pts))
