@@ -524,10 +524,27 @@ def load_bag(
                 dR = R_po.T @ R_o
                 dp = R_po.T @ (o.position - po.position)
                 odom_rel = np.concatenate([dp, cdrless_rotvec(dR)])
-                odom_rel_cov = (
-                    np.asarray(o.pose_cov).reshape(6, 6)
-                    + np.asarray(po.pose_cov).reshape(6, 6)
-                )
+                # DELTA covariance recovery (round 5; rehearsal attribution
+                # found the bag path 0.44 m / 5.5 deg worse than the direct
+                # path on the same world): dead-reckoned odometry carries a
+                # CUMULATIVE pose covariance that grows with distance;
+                # summing two absolute covariances for a one-step delta
+                # overstates the delta noise by the whole accumulated drift
+                # (~30x late in a run) and starves the pipeline of its
+                # relative-odometry factor. The drift accrued BETWEEN the
+                # stamps is the (monotone) covariance increment; the white
+                # measurement part appears at both endpoints, and the
+                # stream's FIRST message covariance is its clean estimate
+                # (no drift accrued yet). Static-covariance bags reduce to
+                # the previous convention: increment 0 + 2x the static cov.
+                cov_o = np.asarray(o.pose_cov, dtype=np.float64).reshape(6, 6)
+                cov_po = np.asarray(po.pose_cov, dtype=np.float64).reshape(6, 6)
+                cov_w = np.asarray(odoms[0].pose_cov, dtype=np.float64).reshape(6, 6)
+                inc = cov_o - cov_po
+                # keep the increment PSD-safe: clip its diagonal at 0 and
+                # zero the (numerically tiny) off-diagonal residue
+                inc = np.diag(np.maximum(np.diag(inc), 0.0))
+                odom_rel_cov = inc + 2.0 * cov_w
                 odom_rel_cov[2, 2] = max(odom_rel_cov[2, 2], C.ODOM_Z_VARIANCE_PRIOR)
             prev_odom_idx = oi
             ocov = np.asarray(o.pose_cov, dtype=np.float64).reshape(6, 6).copy()
