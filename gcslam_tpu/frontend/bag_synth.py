@@ -257,9 +257,15 @@ def write_synth_bag(
             data=raw.tobytes(), is_dense=True,
         )
         emit(1, t_e, cdr.serialize_pointcloud2(msg))
-        # GT at the scan header stamp (what eval aligns against)
+        # GT row: the pose sampled at SCAN_END must carry the SCAN_END
+        # stamp. It was stamped scan_start (one full window early) through
+        # round 4 — a 0.1 s GT time shift that scored every bag run against
+        # a pose 5 cm / 1.15 deg away (0.5 m/s, 0.2 rad/s world) and
+        # accounted for most of the bag-vs-direct "accuracy gap" the
+        # rehearsal attribution chased (r4: 0.98 m/12.7 deg bag vs
+        # 0.42/8.7 direct; minimal-bag bisection round 5 isolated it).
         q = _yaw_to_quat(float(yaw_e))
-        gt_rows.append((scan_start + t0_epoch, *pos_e, *q))
+        gt_rows.append((scan_end + t0_epoch, *pos_e, *q))
         if progress and k % 40 == 0:
             print(f"lidar scan {k}/{cfg.n_scans}", flush=True)
 

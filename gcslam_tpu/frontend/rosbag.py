@@ -492,6 +492,16 @@ def load_bag(
 
         scan_start = float(pt[pw > 0].min()) if np.any(pw > 0) else t_scan - 0.1
         scan_end = float(max(pt.max(), t_scan))
+        # CANONICAL SCAN TIME = WINDOW END (round 5): VLP-16-style bags stamp
+        # the PointCloud2 header at the sweep START with positive per-point
+        # offsets, so header-stamp-as-t_scan put every point AFTER the
+        # belief timestamp — a systematic half-window temporal offset
+        # between the estimated pose and the cloud it was estimated from,
+        # and an IMU window that missed the cloud's actual span (measured:
+        # bag-path rot ATE 5x the direct path's on the same world, and
+        # WORSE than its own raw odometry). The end-of-window time is
+        # convention-robust: end-stamped bags give scan_end == header.
+        t_scan = scan_end
         if t_last_scan is None:
             t_last_scan = scan_start
 
