@@ -62,7 +62,9 @@ def test_bag_contents(synth_bag):
 
     stamps, poses = tum.read_tum(gt)
     assert len(stamps) == 6
-    assert stamps[0] == pytest.approx(T0, abs=1e-6)
+    # GT rows are stamped at the SCAN-END their pose was sampled at
+    # (round-5 fix: they were stamped one window early through round 4)
+    assert stamps[0] == pytest.approx(T0 + 0.1, abs=1e-6)
 
 
 def test_roundtrip_through_frontend(synth_bag):
@@ -71,9 +73,10 @@ def test_roundtrip_through_frontend(synth_bag):
     assert len(batches) == 6
     b = batches[-1]
     # clock alignment undoes the emitted skew: scan stamps land on the
-    # 10 Hz grid at the epoch origin
+    # 10 Hz grid at the epoch origin. t_scan is the WINDOW END (round-5
+    # loader convention): header (sweep start, 6th scan = +0.5) + 0.1.
     t_scan = float(b.t_scan)
-    assert abs((t_scan - T0) - 0.5) < 2e-3
+    assert abs((t_scan - T0) - 0.6) < 2e-3
     # IMU windows populated, stamps aligned INTO the scan timeline
     n_imu = int(np.sum(np.asarray(b.imu_stamps) > 0))
     assert n_imu >= 15
