@@ -44,6 +44,7 @@ class BagConfig:
     imu_accel_scale: float = 1.0  # 9.81 for g-reporting IMUs
     n_points: int = C.N_POINTS_CAP
     max_scans: Optional[int] = None
+    min_range_m: float = 0.4  # sensor-frame no-return/self-return cutoff
     anchor_smoothing_k: int = 10
     alignment: Optional[Dict[str, TopicAlignment]] = None
     # RGB-D camera (reference config/gc_unified.yaml camera section +
@@ -177,11 +178,20 @@ def point_budget_resample(
     points: np.ndarray, stamps: np.ndarray, weights: np.ndarray,
     ring: np.ndarray, tag: np.ndarray, n_cap: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Deterministic stride subsample with total-mass preservation
-    (reference operators/point_budget.py:51-221)."""
+    """Deterministic subsample with total-mass preservation
+    (reference operators/point_budget.py:51-221).
+
+    NOT a stride: VLP-16 clouds are RING-INTERLEAVED (firing order cycles
+    the 16 lasers), so a stride-2 subsample keeps only the 8 even rings —
+    half the elevation diversity silently vanishes and surfel normals
+    degenerate (found round 5 as the bag-vs-direct map-quality gap). A
+    fixed-seed permutation is deterministic across runs and ring-fair for
+    any interleaving."""
     n = points.shape[0]
-    stride = max(1, -(-n // n_cap))
-    idx = np.arange(0, n, stride)
+    if n > n_cap:
+        idx = np.sort(np.random.default_rng(0x5EED).permutation(n)[:n_cap])
+    else:
+        idx = np.arange(n)
     total_in = float(weights.sum())
     w_sel = weights[idx]
     scale = total_in / (float(w_sel.sum()) + C.EPS_MASS)
@@ -484,10 +494,19 @@ def load_bag(
         if cfg.max_scans is not None and k >= cfg.max_scans:
             scan_iter.close()  # joins the native worker when streaming
             break
+        # No-return mask BEFORE the extrinsic transform: drivers encode
+        # missed returns as (0, 0, 0) in the SENSOR frame; after the
+        # T_base_lidar shift those zeros become a ghost cluster AT THE
+        # ROBOT (measured: 18% of a synthetic-bag scan at weight 0.23),
+        # which seeds phantom surfels that drag the map factor every scan.
+        # The min-range gate also drops self-returns (VLP-16 min range
+        # ~0.4 m; reference driver configs carry the same cutoff).
+        r_sensor = np.linalg.norm(xyz, axis=1)
+        valid_pt = np.isfinite(r_sensor) & (r_sensor > cfg.min_range_m)
         # LiDAR -> base frame
-        xyz = xyz @ R_bl.T + t_bl[None, :]
+        xyz = np.where(np.isfinite(xyz), xyz, 0.0) @ R_bl.T + t_bl[None, :]
         dist = np.linalg.norm(xyz, axis=1)
-        w = range_weights(dist)
+        w = range_weights(dist) * valid_pt
         p, pt, pw, pr, pg = point_budget_resample(xyz, pt_t, w, ring, tag, cfg.n_points)
 
         scan_start = float(pt[pw > 0].min()) if np.any(pw > 0) else t_scan - 0.1
